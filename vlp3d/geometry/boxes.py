@@ -1,0 +1,151 @@
+"""3D box geometry: corners, rotations, IoU / DIoU.
+
+Reproduces the semantics of `utils/box_util.py` in the reference:
+
+  * ``get_3d_box_batch`` (box_util.py:361-386): corner layout with
+    (x, y, z) = (±l/2, ±w/2, ±h/2) in the 8-corner order
+    (+,+,-),(+,-,-),(-,-,-),(-,+,-),(+,+,+),... — wait, see the arrays
+    below — rotated by roty(heading) (the reference comments "Actually we
+    should rotz" but *uses roty*; we reproduce the behaviour, not the
+    intent). On ScanNet heading is always 0 so R = I.
+  * ``rotz_batch_pytorch`` (box_util.py:410-430): the z-rotation used by
+    the proposal decoder.
+  * ``box3d_diou_batch_tensor`` (box_util.py:488-529): axis-aligned
+    center+size IoU and DIoU with the paper's 1.5x distance coefficient
+    and clamp to [-1, 1].
+  * ``box3d_iou_batch_tensor``: corner-based AABB IoU used in eval paths.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Corner sign pattern (8, 3) in the reference's order (box_util.py:375-380):
+# x: +,+,-,-,+,+,-,-   y: +,-,-,+,+,-,-,+   z: +,+,+,+,-,-,-,-
+_CORNER_SIGNS = jnp.array(
+    [
+        [1, 1, 1],
+        [1, -1, 1],
+        [-1, -1, 1],
+        [-1, 1, 1],
+        [1, 1, -1],
+        [1, -1, -1],
+        [-1, -1, -1],
+        [-1, 1, -1],
+    ],
+    dtype=jnp.float32,
+)
+
+
+def roty_batch(t: jax.Array) -> jax.Array:
+    """(...,) -> (..., 3, 3) rotation about the y axis (box_util.py:388-405)."""
+    c, s = jnp.cos(t), jnp.sin(t)
+    z = jnp.zeros_like(t)
+    o = jnp.ones_like(t)
+    return jnp.stack(
+        [
+            jnp.stack([c, z, s], -1),
+            jnp.stack([z, o, z], -1),
+            jnp.stack([-s, z, c], -1),
+        ],
+        axis=-2,
+    )
+
+
+def rotz_batch(t: jax.Array) -> jax.Array:
+    """(...,) -> (..., 3, 3) rotation about the z axis (box_util.py:410-430)."""
+    c, s = jnp.cos(t), jnp.sin(t)
+    z = jnp.zeros_like(t)
+    o = jnp.ones_like(t)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, z], -1),
+            jnp.stack([s, c, z], -1),
+            jnp.stack([z, z, o], -1),
+        ],
+        axis=-2,
+    )
+
+
+def get_3d_box_batch(
+    box_size: jax.Array, heading_angle: jax.Array, center: jax.Array
+) -> jax.Array:
+    """Box parameters -> 8 corners.
+
+    Args:
+      box_size: (..., 3) as (l, w, h); heading_angle: (...,); center: (..., 3).
+
+    Returns:
+      (..., 8, 3) corners: signs * size/2 @ roty(heading)^T + center,
+      bit-matching get_3d_box_batch (box_util.py:361-386) including its
+      roty-not-rotz convention.
+    """
+    r = roty_batch(heading_angle)  # (..., 3, 3)
+    half = box_size[..., None, :] * _CORNER_SIGNS / 2.0  # (..., 8, 3)
+    corners = jnp.einsum("...kj,...ij->...ki", half, r)
+    return corners + center[..., None, :]
+
+
+def box3d_diou(center1, size1, center2, size2):
+    """Axis-aligned IoU and DIoU for aligned pairs of boxes.
+
+    Broadcasts over leading dims; each box is center (..., 3) + size
+    (..., 3). Matches box3d_diou_batch_tensor (box_util.py:488-529):
+    diou = iou - 1.5 * center_dist^2 / enclosing_diag^2, clamped to [-1, 1].
+
+    Returns (iou, diou).
+    """
+    min1 = center1 - size1 / 2.0
+    max1 = center1 + size1 / 2.0
+    min2 = center2 - size2 / 2.0
+    max2 = center2 + size2 / 2.0
+
+    inter = jnp.prod(
+        jnp.clip(jnp.minimum(max1, max2) - jnp.maximum(min1, min2), min=0.0),
+        axis=-1,
+    )
+    vol1 = jnp.prod(size1, axis=-1)
+    vol2 = jnp.prod(size2, axis=-1)
+    union = vol1 + vol2 - inter
+    iou = inter / union
+
+    inter_diag = jnp.sum((center1 - center2) ** 2, axis=-1)
+    outer = jnp.clip(jnp.maximum(max1, max2) - jnp.minimum(min1, min2), min=0.0)
+    outer_diag = jnp.sum(outer**2, axis=-1)
+    diou = jnp.clip(iou - 1.5 * inter_diag / outer_diag, -1.0, 1.0)
+    return iou, diou
+
+
+def box3d_iou_aabb(center1, size1, center2, size2):
+    """Axis-aligned IoU only (same broadcasting as box3d_diou)."""
+    min1 = center1 - size1 / 2.0
+    max1 = center1 + size1 / 2.0
+    min2 = center2 - size2 / 2.0
+    max2 = center2 + size2 / 2.0
+    inter = jnp.prod(
+        jnp.clip(jnp.minimum(max1, max2) - jnp.maximum(min1, min2), min=0.0),
+        axis=-1,
+    )
+    vol1 = jnp.prod(size1, axis=-1)
+    vol2 = jnp.prod(size2, axis=-1)
+    return inter / (vol1 + vol2 - inter)
+
+
+def corners_to_aabb(corners: jax.Array):
+    """(..., 8, 3) corners -> (center, size) of the axis-aligned hull."""
+    cmin = jnp.min(corners, axis=-2)
+    cmax = jnp.max(corners, axis=-2)
+    return (cmin + cmax) / 2.0, cmax - cmin
+
+
+def box3d_iou_corners(corners1: jax.Array, corners2: jax.Array) -> jax.Array:
+    """AABB IoU from corner representations (broadcasting over leading dims).
+
+    Stands in for the reference's corner-based box3d_iou_batch_tensor — on
+    ScanNet heading == 0 so boxes are axis-aligned and the AABB IoU is exact
+    (see data/scannet/model_util_scannet.py:133-143: class2angle returns 0).
+    """
+    c1, s1 = corners_to_aabb(corners1)
+    c2, s2 = corners_to_aabb(corners2)
+    return box3d_iou_aabb(c1, s1, c2, s2)

@@ -1,0 +1,71 @@
+"""PointNet++ backbone: 4 set-abstraction + 2 feature-propagation layers.
+
+Mirrors `models/base_module/backbone_module.py:23-135` (npoint
+2048/1024/512/256, radii 0.2/0.4/0.8/1.2, nsample 64/32/16/16, MLPs ending
+128/256/256/256, normalize_xyz=True; fp1/fp2 both [512, 256, 256]).
+Emits seeds: fp2_xyz (= sa2_xyz), fp2_features (1024 x 256), fp2_inds
+(= sa1_inds[:, :1024], indices into the raw input cloud).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vlp3d.models.layers import FPModule, SAModule
+
+
+class PointNet2Backbone(nn.Module):
+    input_feature_dim: int = 0
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, point_clouds: jax.Array, *, train: bool = False):
+        """point_clouds: (B, N, 3 + input_feature_dim).
+
+        Returns dict with sa*_xyz/features/inds and fp2_* seed outputs.
+        """
+        m = self.bn_momentum
+        xyz = point_clouds[..., :3]
+        features = (
+            point_clouds[..., 3:] if point_clouds.shape[-1] > 3 else None
+        )
+
+        sa1_xyz, sa1_f, sa1_inds = SAModule(
+            2048, 0.2, 64, [64, 64, 128], bn_momentum=m, name="sa1"
+        )(xyz, features, train=train)
+        sa2_xyz, sa2_f, sa2_inds = SAModule(
+            1024, 0.4, 32, [128, 128, 256], bn_momentum=m, name="sa2"
+        )(sa1_xyz, sa1_f, train=train)
+        sa3_xyz, sa3_f, sa3_inds = SAModule(
+            512, 0.8, 16, [128, 128, 256], bn_momentum=m, name="sa3"
+        )(sa2_xyz, sa2_f, train=train)
+        sa4_xyz, sa4_f, sa4_inds = SAModule(
+            256, 1.2, 16, [128, 128, 256], bn_momentum=m, name="sa4"
+        )(sa3_xyz, sa3_f, train=train)
+
+        f = FPModule([256, 256], bn_momentum=m, name="fp1")(
+            sa3_xyz, sa4_xyz, sa3_f, sa4_f, train=train
+        )
+        f = FPModule([256, 256], bn_momentum=m, name="fp2")(
+            sa2_xyz, sa3_xyz, sa2_f, f, train=train
+        )
+
+        num_seed = sa2_xyz.shape[1]
+        return {
+            "sa1_inds": sa1_inds,
+            "sa1_xyz": sa1_xyz,
+            "sa1_features": sa1_f,
+            "sa2_inds": sa2_inds,
+            "sa2_xyz": sa2_xyz,
+            "sa2_features": sa2_f,
+            "sa3_xyz": sa3_xyz,
+            "sa3_features": sa3_f,
+            "sa4_xyz": sa4_xyz,
+            "sa4_features": sa4_f,
+            "fp2_features": f,
+            "fp2_xyz": sa2_xyz,
+            # indices into the raw input cloud (backbone_module.py:134)
+            "fp2_inds": sa1_inds[:, :num_seed],
+        }

@@ -1,0 +1,132 @@
+"""Fixed-shape radius neighbourhood search (ball query).
+
+Semantics match the reference CUDA kernel
+(`lib/pointnet2/_ext_src/src/ball_query_gpu.cu:14-49`):
+
+  * for each query center, return the indices of the first ``nsample``
+    points (in scan order k = 0..N-1) with squared distance strictly less
+    than radius**2;
+  * if fewer than ``nsample`` points fall inside the ball, the remaining
+    slots are padded with the *first* in-ball index
+    (ball_query_gpu.cu:38-43);
+  * if no point falls inside the ball, all slots are 0 (the reference
+    allocates the output with torch::zeros, ball_query.cpp:25).
+
+The fixed-shape selection is done with ``lax.top_k`` over a rank key that
+orders in-ball points by ascending scan index: key = 2N - k for in-ball
+points, 0 otherwise. top_k's lowest-index tie-breaking makes out-of-ball
+slots deterministic; positive top-k values mark real neighbours.
+
+Distance matrices are computed in center chunks to bound transient HBM
+footprint (chunk x N instead of M x N).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _ball_query_chunk(centers, xyz, radius, nsample):
+    """centers: (B, C, 3), xyz: (B, N, 3) -> idx (B, C, nsample) i32."""
+    n = xyz.shape[1]
+    d2 = jnp.sum(
+        (centers[:, :, None, :] - xyz[:, None, :, :]) ** 2, axis=-1
+    )  # (B, C, N)
+    in_ball = d2 < radius * radius
+    k = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+    key = jnp.where(in_ball, 2 * n - k, 0)
+    vals, idx = lax.top_k(key, nsample)  # descending; ties -> lowest index
+    hit = vals > 0
+    pad = jnp.where(hit[..., :1], idx[..., :1], 0)
+    return jnp.where(hit, idx, pad).astype(jnp.int32)
+
+
+def ball_query(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    *,
+    chunk: int = 256,
+) -> jax.Array:
+    """Radius search with fixed-shape output.
+
+    Args:
+      radius: ball radius.
+      nsample: neighbours per center (output is padded to this).
+      xyz: (B, N, 3) support points.
+      new_xyz: (B, M, 3) query centers.
+      chunk: centers processed per step (caps the (chunk, N) distance tile).
+
+    Returns:
+      (B, M, nsample) int32 indices into N.
+    """
+    b, m, _ = new_xyz.shape
+    xyz = lax.stop_gradient(xyz.astype(jnp.float32))
+    new_xyz = lax.stop_gradient(new_xyz.astype(jnp.float32))
+    if m <= chunk:
+        return _ball_query_chunk(new_xyz, xyz, radius, nsample)
+
+    pad = (-m) % chunk
+    centers = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0)))
+    nchunks = centers.shape[1] // chunk
+
+    def one(i):
+        c = lax.dynamic_slice(centers, (0, i * chunk, 0), (b, chunk, 3))
+        return _ball_query_chunk(c, xyz, radius, nsample)
+
+    out = lax.map(one, jnp.arange(nchunks))  # (nchunks, B, chunk, nsample)
+    out = jnp.moveaxis(out, 0, 1).reshape(b, nchunks * chunk, nsample)
+    return out[:, :m]
+
+
+def query_and_group(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    features: jax.Array | None = None,
+    *,
+    use_xyz: bool = True,
+    normalize_xyz: bool = False,
+    chunk: int = 256,
+):
+    """Ball query + grouping, channels-last.
+
+    Mirrors ``QueryAndGroup`` (`lib/pointnet2/pointnet2_utils.py:290-372`):
+    grouped coordinates are recentered on the query point and optionally
+    normalized by the radius; point features are gathered per neighbour and
+    concatenated after the xyz channels.
+
+    Args:
+      xyz: (B, N, 3); new_xyz: (B, M, 3); features: (B, N, C) or None.
+
+    Returns:
+      (grouped, grouped_xyz): grouped is (B, M, nsample, 3 + C) if use_xyz
+      else (B, M, nsample, C); grouped_xyz is (B, M, nsample, 3).
+    """
+    idx = ball_query(radius, nsample, xyz, new_xyz, chunk=chunk)
+    grouped_xyz = jnp.take_along_axis(
+        xyz[:, :, None, :], idx[:, :, :, None], axis=1
+    )  # (B, M, nsample, 3)
+    grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
+    if normalize_xyz:
+        grouped_xyz = grouped_xyz / radius
+
+    if features is not None:
+        grouped_feats = jnp.take_along_axis(
+            features[:, :, None, :], idx[:, :, :, None], axis=1
+        )  # (B, M, nsample, C)
+        if use_xyz:
+            grouped = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+        else:
+            grouped = grouped_feats
+    else:
+        if not use_xyz:
+            raise ValueError("need features when use_xyz=False")
+        grouped = grouped_xyz
+    return grouped, grouped_xyz
