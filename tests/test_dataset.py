@@ -1,0 +1,124 @@
+"""Dataset contract tests on in-memory synthetic scenes."""
+
+import numpy as np
+
+from vlp3d.data.dataset import (
+    BatchIterator,
+    InMemorySceneSource,
+    MAX_NUM_OBJ,
+    ScanReferJointDataset,
+    collate,
+)
+from vlp3d.data.tokenizer import HashTokenizer
+
+
+def make_scene(rng, n_points=2000, n_obj=4):
+    bboxes = np.zeros((n_obj, 8), np.float32)
+    pts = rng.uniform(0, 5, (n_points, 3)).astype(np.float32)
+    instance = np.zeros(n_points, np.int64)
+    semantic = np.zeros(n_points, np.int64)
+    per = n_points // (2 * n_obj)
+    for i in range(n_obj):
+        c = rng.uniform(1, 4, 3)
+        s = rng.uniform(0.5, 1.0, 3)
+        sl = slice(i * per, (i + 1) * per)
+        pts[sl] = c + (rng.uniform(-0.5, 0.5, (per, 3)) * s)
+        instance[sl] = i + 1
+        semantic[sl] = 5  # nyu40 id in detection set
+        bboxes[i, 0:3] = c
+        bboxes[i, 3:6] = s
+        bboxes[i, 6] = 5  # nyu40 sem id
+        bboxes[i, 7] = i + 10  # object id
+    # reference layout: [...,-2] is sem id, [...,-1] is object id
+    return {
+        "point_cloud": pts,
+        "instance_labels": instance,
+        "semantic_labels": semantic,
+        "instance_bboxes": bboxes,
+    }
+
+
+def make_annotations(scene_ids, n_per_scene=5):
+    anns = []
+    for sid in scene_ids:
+        for a in range(n_per_scene):
+            anns.append(
+                {
+                    "scene_id": sid,
+                    "object_id": str(10 + (a % 3)),
+                    "object_name": "chair",
+                    "ann_id": str(a),
+                    "token": ["the", "red", "chair", "near", "the", "door"],
+                }
+            )
+    return anns
+
+
+def build_dataset(**kw):
+    rng = np.random.default_rng(0)
+    scenes = {f"scene{i:04d}_00": make_scene(rng) for i in range(2)}
+    anns = make_annotations(sorted(scenes))
+    return ScanReferJointDataset(
+        anns,
+        InMemorySceneSource(scenes),
+        HashTokenizer(),
+        num_points=512,
+        lang_num_max=4,
+        bert_max_len=16,
+        **kw,
+    )
+
+
+def test_chunking():
+    ds = build_dataset()
+    # 5 anns/scene, cap 4 -> chunks of 4+1 per scene = 4 chunks total
+    assert len(ds) == 4
+    sizes = sorted(len(c) for c in ds.chunks)
+    assert sizes == [1, 1, 4, 4]
+    ds.shuffle_data()
+    assert len(ds) == 4
+
+
+def test_item_contract():
+    ds = build_dataset()
+    item = ds[0]
+    assert item["point_clouds"].shape == (512, 4)  # xyz + height
+    assert item["vote_label"].shape == (512, 9)
+    assert item["center_label"].shape == (MAX_NUM_OBJ, 3)
+    assert item["ref_center_label_list"].shape == (4, 3)
+    assert item["input_ids"].shape == (4, 16)
+    assert item["input_ids"][0, 0] == 101  # CLS
+    assert item["vote_label_mask"].sum() > 0
+    # votes point from object points to box centers
+    m = item["vote_label_mask"].astype(bool)
+    voted = item["point_clouds"][m, :3] + item["vote_label"][m, :3]
+    spread = voted.std(axis=0).max()
+    assert spread < 2.0  # votes collapse toward a few centers
+
+    # ref labels: each sentence's ref one-hot matches a GT box
+    assert (item["ref_box_label_list"].sum(-1) <= 1).all()
+    j = int(np.argmax(item["ref_box_label_list"].sum(-1)))
+    i = int(np.argmax(item["ref_box_label_list"][j]))
+    np.testing.assert_allclose(
+        item["ref_center_label_list"][j], item["center_label"][i]
+    )
+
+
+def test_augmented_item_finite():
+    ds = build_dataset(augment=True, lang_num_aug=1)
+    item = ds[0]
+    assert np.isfinite(item["point_clouds"]).all()
+    assert item["input_ids"].shape == (4, 16)
+
+
+def test_collate_and_iterator():
+    ds = build_dataset()
+    batch = collate([ds[0], ds[1]], random_gate=0.3, epoch=2)
+    assert batch["point_clouds"].shape == (2, 512, 4)
+    assert batch["epoch"] == 2
+    assert abs(float(batch["random"]) - 0.3) < 1e-6
+
+    it = BatchIterator(ds, batch_size=2, epoch=0)
+    batches = list(it)
+    assert len(batches) == 2
+    assert batches[0]["input_ids"].shape == (2, 4, 16)

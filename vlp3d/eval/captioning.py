@@ -1,0 +1,132 @@
+"""Dense-captioning (Scan2Cap) evaluation pipeline.
+
+Port of `lib/joint/eval_helper.py:24-357`: build the reference corpus from
+ScanRefer, run greedy decoding per proposal, keep NMS-surviving proposals
+whose box matches its assigned GT with IoU > 0.5, decode to
+"[CLS] ... [SEP]" strings keyed `scene|object_id|object_name`, score with
+BLEU-4 / CIDEr / ROUGE-L / METEOR @0.5.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vlp3d.eval.box_iou import box3d_iou
+from vlp3d.eval.capeval import Bleu, Cider, Meteor, Rouge
+from vlp3d.eval.detection import parse_predictions
+
+
+def prepare_corpus(scanrefer: list, max_len: int = 30) -> dict:
+    """key 'scene|object_id|object_name' -> list of framed descriptions
+    (eval_helper.py:24-44)."""
+    corpus: dict = {}
+    for data in scanrefer:
+        token = data["token"][:max_len]
+        description = "[CLS] " + " ".join(token) + " [SEP]"
+        key = "{}|{}|{}".format(
+            data["scene_id"], data["object_id"], data["object_name"]
+        )
+        corpus.setdefault(key, []).append(description)
+    return corpus
+
+
+def organize_scanrefer(scanrefer: list) -> dict:
+    """scene -> object_id -> ann_id -> annotation (the 'organized' json)."""
+    out: dict = {}
+    for data in scanrefer:
+        out.setdefault(data["scene_id"], {}).setdefault(
+            data["object_id"], {}
+        )[data["ann_id"]] = data
+    return out
+
+
+def decode_caption(tokenizer, ids) -> str:
+    """'[CLS] tokens... [SEP]' framing with '.' split out
+    (eval_helper.py:47-55)."""
+    words = []
+    for i in np.asarray(ids).tolist():
+        i = int(i)
+        if i == tokenizer.cls_token_id or i == tokenizer.pad_token_id:
+            continue
+        if i == tokenizer.sep_token_id:
+            break
+        words.append(tokenizer.decode([i]) or "[UNK]")
+    text = " ".join(words).replace(".", " .")
+    return ("[CLS] " + text + " [SEP]").replace("  ", " ")
+
+
+def collect_caption_candidates(
+    outputs: dict,
+    batch: dict,
+    tokenizer,
+    organized: dict,
+    *,
+    object_assignment: np.ndarray,
+    min_iou: float = 0.5,
+    candidates: dict | None = None,
+) -> dict:
+    """One batch of eval outputs -> candidate captions
+    (feed_scene_cap, eval_helper.py:79-275).
+
+    outputs needs: lang_cap_ids (B, K, T), pred_center/size/heading,
+    objectness_scores, sem_cls_scores, pred_bbox_corner, point_clouds
+    via batch. batch needs: gt_box_corner_label, scene_object_ids,
+    scene_id list.
+    """
+    candidates = candidates if candidates is not None else {}
+    pred_mask, _ = parse_predictions(
+        {**outputs, "point_clouds": batch["point_clouds"]}, {}
+    )
+    obj_mask = np.argmax(np.asarray(outputs["objectness_scores"]), -1)
+    nms_masks = pred_mask * obj_mask
+
+    scene_object_ids = np.asarray(batch["scene_object_ids"])
+    detected_object_ids = np.take_along_axis(
+        scene_object_ids, object_assignment, axis=1
+    )
+    gt_corners = np.take_along_axis(
+        np.asarray(batch["gt_box_corner_label"]),
+        object_assignment[:, :, None, None],
+        axis=1,
+    )
+    pred_corners = np.asarray(outputs["pred_bbox_corner"])
+    ious = box3d_iou(gt_corners, pred_corners)  # (B, K) AABB corner IoU
+    good = ious > min_iou
+
+    captions = np.asarray(outputs["lang_cap_ids"])  # (B, K, T)
+    b, k = captions.shape[:2]
+    scene_ids = batch["scene_id"]
+    for i in range(b):
+        scene_id = scene_ids[i]
+        for j in range(k):
+            if nms_masks[i, j] != 1 or not good[i, j]:
+                continue
+            object_id = str(int(detected_object_ids[i, j]))
+            decoded = decode_caption(tokenizer, captions[i, j])
+            try:
+                anns = organized[scene_id][object_id]
+                object_name = next(iter(anns.values()))["object_name"]
+            except (KeyError, StopIteration):
+                continue
+            key = f"{scene_id}|{object_id}|{object_name}"
+            candidates[key] = [decoded]
+    return candidates
+
+
+def score_captions(corpus: dict, candidates: dict) -> dict:
+    """check/organize candidates + run the 4 scorers
+    (eval_cap, eval_helper.py:278-357)."""
+    full = {k: candidates.get(k, ["[CLS] [SEP]"]) for k in corpus}
+    bleu, _ = Bleu(4).compute_score(corpus, full)
+    cider, _ = Cider().compute_score(corpus, full)
+    rouge, _ = Rouge().compute_score(corpus, full)
+    meteor, _ = Meteor().compute_score(corpus, full)
+    return {
+        "bleu-1": bleu[0],
+        "bleu-2": bleu[1],
+        "bleu-3": bleu[2],
+        "bleu-4": bleu[3],
+        "cider": cider,
+        "rouge": rouge,
+        "meteor": meteor,
+    }

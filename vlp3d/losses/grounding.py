@@ -1,0 +1,177 @@
+"""Grounding losses: OID (IoU-guided DIoU reference loss), language
+classification, attribute (vote compactness), vote-weight BCE.
+
+Fully-vectorized ports of `lib/loss_helper/loss_grounding.py` — the
+reference's Python double loop over batch x lang_num
+(loss_grounding.py:195-321) becomes masked (B, L, K) tensor math.
+
+Faithfully reproduced quirks:
+  * the one-hot `labels` use the argmax of the RAW ious while the smooth
+    labels use the argmax of the objectness-masked ious (the reference
+    masks `ious` in place after snapshotting `ious_np`,
+    loss_grounding.py:231-257);
+  * epoch < 50: label smoothing 0.95/0.05 over the iou>=0.25 set when it
+    has >= 2 members (:248-255);
+  * diou_loss normalizes by batch size only, not sentence count (:360);
+  * ref loss = SoftmaxRankingLoss with the reference's +1e-8 epsilons
+    (lib/loss_helper/loss.py:6-17), per-batch mean over valid sentences.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vlp3d.geometry.boxes import box3d_diou
+
+
+def softmax_ranking_loss(inputs, targets, row_mask):
+    """-sum(log(softmax(x+1e-8)+1e-8) * t) averaged over masked rows
+    (loss.py:10-17)."""
+    probs = jax.nn.softmax(inputs + 1e-8, axis=-1)
+    per_row = -jnp.sum(jnp.log(probs + 1e-8) * targets, axis=-1)
+    return jnp.sum(per_row * row_mask, axis=-1) / jnp.maximum(
+        jnp.sum(row_mask, axis=-1), 1.0
+    )
+
+
+def compute_diou_loss(
+    *,
+    pred_center: jax.Array,  # (B, K, 3)
+    pred_size: jax.Array,  # (B, K, 3)
+    cluster_ref: jax.Array,  # (B*L, K) grounding confidences
+    objectness_masks: jax.Array,  # (B, K) f32 argmax objectness
+    gt_center: jax.Array,  # (B, L, 3) per-sentence ref GT centers
+    gt_size: jax.Array,  # (B, L, 3) per-sentence ref GT sizes
+    lang_num: jax.Array,  # (B,) valid sentences per scene
+    epoch: jax.Array,  # scalar
+    istrain: jax.Array,  # scalar bool/int
+    random_gate: jax.Array,  # scalar in [0,1) — shared with match copy-paste
+    pred_center_reg: jax.Array | None = None,  # (B, L, K, 3)
+    pred_size_reg: jax.Array | None = None,  # (B, L, K, 3)
+):
+    """OID loss (loss_grounding.py:129-365).
+
+    Returns dict with ref_loss, diou_loss, cluster_labels (raw one-hot),
+    smooth_labels, ious (B, L, K), max_iou_rate_0.25/0.5.
+    """
+    b, k = pred_center.shape[:2]
+    l = gt_center.shape[1]
+
+    pc = pred_center[:, None, :, :]
+    ps = pred_size[:, None, :, :]
+    if pred_center_reg is not None:
+        pc = pc + pred_center_reg
+        ps = ps + pred_size_reg
+    ious, dious = box3d_diou(
+        pc, ps, gt_center[:, :, None, :], gt_size[:, :, None, :]
+    )  # (B, L, K)
+
+    lang_mask = (
+        jnp.arange(l)[None, :] < lang_num[:, None]
+    ).astype(jnp.float32)  # (B, L)
+
+    apply_obj_mask = (istrain != 0) & (random_gate < 0.5)
+    masked_ious = jnp.where(
+        apply_obj_mask, ious * objectness_masks[:, None, :], ious
+    )
+
+    raw_ind = jnp.argmax(ious, axis=-1)  # (B, L)
+    max_ious = jnp.max(ious, axis=-1)
+    has_pos = (max_ious >= 0.25).astype(jnp.float32) * lang_mask
+
+    labels = jax.nn.one_hot(raw_ind, k) * has_pos[..., None]
+
+    masked_ind = jnp.argmax(masked_ious, axis=-1)
+    masked_onehot = jax.nn.one_hot(masked_ind, k)
+    smooth_mask = (masked_ious >= 0.25).astype(jnp.float32)
+    cnt = jnp.sum(smooth_mask, axis=-1, keepdims=True)
+    smoothed = jnp.where(
+        cnt >= 2,
+        smooth_mask * (0.05 / jnp.maximum(cnt - 1, 1.0))
+        * (1.0 - masked_onehot)
+        + masked_onehot * 0.95,
+        masked_onehot,
+    )
+    smooth_labels = (
+        jnp.where(epoch < 50, smoothed, masked_onehot) * has_pos[..., None]
+    )
+    smooth_labels = jax.lax.stop_gradient(smooth_labels)
+    labels = jax.lax.stop_gradient(labels)
+
+    preds = cluster_ref.reshape(b, l, k)
+    ref_loss = jnp.mean(softmax_ranking_loss(preds, smooth_labels, lang_mask))
+    diou_loss = (
+        jnp.sum((1.0 - dious) * smooth_labels * lang_mask[..., None]) / b
+    )
+
+    total_lang = jnp.maximum(jnp.sum(lang_num), 1)
+    return {
+        "ref_loss": ref_loss,
+        "diou_loss": diou_loss,
+        "cluster_labels": labels,
+        "smooth_labels": smooth_labels,
+        "ious": ious,
+        "max_iou_rate_0.25": jnp.sum(has_pos) / total_lang,
+        "max_iou_rate_0.5": jnp.sum(
+            (max_ious >= 0.5).astype(jnp.float32) * lang_mask
+        )
+        / total_lang,
+    }
+
+
+def compute_lang_classification_loss(
+    lang_scores: jax.Array,  # (B*L, num_class)
+    object_cat: jax.Array,  # (B, L) i32
+    lang_num: jax.Array,  # (B,)
+):
+    """Per-sentence object-category CE (loss_grounding.py:476-487)."""
+    b, l = object_cat.shape
+    logp = jax.nn.log_softmax(lang_scores.reshape(b, l, -1), axis=-1)
+    ce = -jnp.take_along_axis(logp, object_cat[..., None], axis=-1)[..., 0]
+    mask = (jnp.arange(l)[None, :] < lang_num[:, None]).astype(jnp.float32)
+    per_batch = jnp.sum(ce * mask, axis=-1) / jnp.maximum(
+        jnp.sum(mask, axis=-1), 1.0
+    )
+    return jnp.mean(per_batch)
+
+
+def compute_attr_loss(
+    vote_xyz: jax.Array,  # (B, S, 3)
+    seed_inds: jax.Array,  # (B, S)
+    instance_labels: jax.Array,  # (B, N) i32
+    vote_label_mask: jax.Array,  # (B, N)
+    num_instances: int = 256,
+):
+    """Vote compactness per instance (loss_grounding.py:71-126): L1 distance
+    of each vote to its instance's mean vote, masked by the GT vote mask.
+    The torch_scatter mean becomes a fixed-size segment mean."""
+    seed_mask = jnp.take_along_axis(vote_label_mask, seed_inds, axis=1)
+    seed_instance = jnp.take_along_axis(instance_labels, seed_inds, axis=1)
+
+    def per_batch(votes, inst):
+        seg_sum = jax.ops.segment_sum(votes, inst, num_segments=num_instances)
+        seg_cnt = jax.ops.segment_sum(
+            jnp.ones((votes.shape[0],)), inst, num_segments=num_instances
+        )
+        seg_mean = seg_sum / jnp.maximum(seg_cnt, 1.0)[:, None]
+        return jnp.sum(jnp.abs(votes - seg_mean[inst]), axis=-1)
+
+    attr_dist = jax.vmap(per_batch)(vote_xyz, seed_instance)
+    m = seed_mask.astype(jnp.float32)
+    return jnp.sum(attr_dist * m) / (jnp.sum(m) + 1e-6)
+
+
+def compute_vote_weight_loss(
+    vote_weights: jax.Array,  # (B, S, 1) sigmoid outputs
+    seed_inds: jax.Array,
+    vote_label_mask: jax.Array,
+):
+    """BCE of predicted vote weights vs GT vote mask
+    (loss_grounding.py:60-69)."""
+    target = jnp.take_along_axis(vote_label_mask, seed_inds, axis=1).astype(
+        jnp.float32
+    )
+    p = jnp.clip(vote_weights[..., 0], 1e-7, 1.0 - 1e-7)
+    bce = -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+    return jnp.mean(bce)

@@ -1,0 +1,213 @@
+"""BERT text encoder (flax) + language module.
+
+TPU-native replacement for `models/lang_bert_module/` (lang_bert_module.py
++ the vendored ALBEF-style xbert.py). The reference runs
+`bert-base-uncased` in "text mode" — only the first `fusion_layer` of the
+12 encoder layers (xbert.py:550-558; the missing config_bert.json follows
+the ALBEF default fusion_layer=6) — then projects 768 -> 128, takes the
+CLS embedding, and classifies the referred object class
+(lang_bert_module.py:98-140). The text encoder is entirely frozen
+(init loop sets requires_grad=False for every BERT param,
+lang_bert_module.py:84-95) — here freezing is a stop_gradient on the
+encoder output, which blocks all gradients into BERT params and skips
+their backward compute.
+
+Parameter layout matches HF bert-base-uncased so real weights can be
+imported with ``load_hf_bert_params`` (weights are an external asset, as
+in the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    fusion_layer: int = 6  # text mode runs layers [0, fusion_layer)
+
+
+class BertEmbeddings(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, *, deterministic=True):
+        c = self.config
+        seq = input_ids.shape[-1]
+        word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(
+            input_ids
+        )
+        pos = nn.Embed(
+            c.max_position_embeddings, c.hidden_size, name="position_embeddings"
+        )(jnp.arange(seq)[None, :])
+        tok = nn.Embed(
+            c.type_vocab_size, c.hidden_size, name="token_type_embeddings"
+        )(jnp.zeros_like(input_ids))
+        x = word + pos + tok
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm")(x)
+        return nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, x, attention_mask, *, deterministic=True):
+        c = self.config
+        h = c.num_attention_heads
+        dk = c.hidden_size // h
+        b, s, _ = x.shape
+
+        q = nn.Dense(c.hidden_size, name="query")(x)
+        k = nn.Dense(c.hidden_size, name="key")(x)
+        v = nn.Dense(c.hidden_size, name="value")(x)
+        q = q.reshape(b, s, h, dk).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, h, dk).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, h, dk).transpose(0, 2, 1, 3)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(dk))
+        att = att + (1.0 - attention_mask[:, None, None, :]) * -10000.0
+        att = jax.nn.softmax(att, axis=-1)
+        att = nn.Dropout(c.attention_dropout)(att, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, c.hidden_size)
+        ctx = nn.Dense(c.hidden_size, name="attention_output")(ctx)
+        ctx = nn.Dropout(c.hidden_dropout)(ctx, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_LayerNorm")(
+            x + ctx
+        )
+
+        y = nn.Dense(c.intermediate_size, name="intermediate")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c.hidden_size, name="output")(y)
+        y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_LayerNorm")(
+            x + y
+        )
+
+
+class BertTextEncoder(nn.Module):
+    """Embeddings + the first `fusion_layer` encoder layers (text mode)."""
+
+    config: BertConfig = BertConfig()
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, *, deterministic=True):
+        x = BertEmbeddings(self.config, name="embeddings")(
+            input_ids, deterministic=deterministic
+        )
+        mask = attention_mask.astype(jnp.float32)
+        for i in range(self.config.fusion_layer):
+            x = BertLayer(self.config, name=f"layer_{i}")(
+                x, mask, deterministic=deterministic
+            )
+        return x
+
+
+class LangModule(nn.Module):
+    """BERT text mode -> 768->128 projection, CLS embedding, lang classifier
+    (lang_bert_module.py:98-140)."""
+
+    num_class: int = 18
+    lang_hidden_size: int = 128
+    use_lang_classifier: bool = True
+    bert_config: BertConfig = BertConfig()
+    freeze_bert: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,  # (B, L, T) i32
+        attention_mask: jax.Array,  # (B, L, T)
+        *,
+        train: bool = False,
+    ):
+        b, l, t = input_ids.shape
+        ids = input_ids.reshape(b * l, t)
+        amask = attention_mask.reshape(b * l, t)
+
+        hidden = BertTextEncoder(self.bert_config, name="text_encoder")(
+            ids, amask, deterministic=not train
+        )
+        if self.freeze_bert:
+            hidden = jax.lax.stop_gradient(hidden)
+
+        lang_fea = nn.Dense(self.lang_hidden_size, name="proj")(hidden)
+        lang_emb = lang_fea[:, 0, :]  # CLS
+
+        out = {
+            "lang_fea": lang_fea,  # (B*L, T, 128)
+            "lang_emb": lang_emb,  # (B*L, 128)
+            "lang_mask": amask,  # (B*L, T)
+        }
+        if self.use_lang_classifier:
+            scores = nn.Dense(self.num_class, name="lang_cls")(lang_emb)
+            out["lang_scores"] = nn.Dropout(0.5)(
+                scores, deterministic=not train
+            )
+        return out
+
+
+def load_hf_bert_params(flax_params: dict, state_dict: dict) -> dict:
+    """Copy HF bert-base-uncased torch weights into BertTextEncoder params.
+
+    `state_dict` maps HF names (bert.embeddings..., bert.encoder.layer.N...)
+    to numpy arrays. Returns a new params dict (linen kernel layout:
+    torch Linear weight (out, in) -> kernel (in, out)).
+    """
+    import numpy as np
+
+    p = jax.tree_util.tree_map(lambda x: x, flax_params)  # shallow copy
+
+    def put(path, value):
+        node = p
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = jnp.asarray(value)
+
+    def g(name):
+        key = name if name in state_dict else "bert." + name
+        return np.asarray(state_dict[key])
+
+    emb = ["text_encoder", "embeddings"]
+    put(emb + ["word_embeddings", "embedding"], g("embeddings.word_embeddings.weight"))
+    put(emb + ["position_embeddings", "embedding"], g("embeddings.position_embeddings.weight"))
+    put(emb + ["token_type_embeddings", "embedding"], g("embeddings.token_type_embeddings.weight"))
+    put(emb + ["LayerNorm", "scale"], g("embeddings.LayerNorm.weight"))
+    put(emb + ["LayerNorm", "bias"], g("embeddings.LayerNorm.bias"))
+
+    n_layers = sum(
+        1 for k in flax_params["text_encoder"] if k.startswith("layer_")
+    )
+    for i in range(n_layers):
+        src = f"encoder.layer.{i}."
+        dst = ["text_encoder", f"layer_{i}"]
+        pairs = [
+            ("query", "attention.self.query"),
+            ("key", "attention.self.key"),
+            ("value", "attention.self.value"),
+            ("attention_output", "attention.output.dense"),
+            ("intermediate", "intermediate.dense"),
+            ("output", "output.dense"),
+        ]
+        for name, hf in pairs:
+            put(dst + [name, "kernel"], g(src + hf + ".weight").T)
+            put(dst + [name, "bias"], g(src + hf + ".bias"))
+        put(dst + ["attention_LayerNorm", "scale"], g(src + "attention.output.LayerNorm.weight"))
+        put(dst + ["attention_LayerNorm", "bias"], g(src + "attention.output.LayerNorm.bias"))
+        put(dst + ["output_LayerNorm", "scale"], g(src + "output.LayerNorm.weight"))
+        put(dst + ["output_LayerNorm", "bias"], g(src + "output.LayerNorm.bias"))
+    return p

@@ -1,0 +1,120 @@
+"""Proposal relation module: 2-layer self-attention with geometric bias.
+
+Mirrors `models/proposal_module/relation_module.py:9-139`:
+
+  * features_concat: Dense+BN+PReLU+Dense projection of proposal features;
+  * per depth: additive attention bias from pairwise center offsets +
+    distance through a [4->32->32->4] MLP (one bias per head);
+  * multiview "object embedding": gathers the raw per-point multiview
+    channels (point_clouds[..., 6:6+128]) through seed_inds at
+    aggregated_vote_inds, scaled by 0.1 (relation_module.py:100-117);
+  * box-corner embedding: Linear(27 -> hidden) of [center, corners-center];
+  * MultiHeadAttention with way='add'.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vlp3d.models.attention import MultiHeadAttention
+from vlp3d.models.layers import PReLU
+
+
+class RelationModule(nn.Module):
+    num_proposals: int = 256
+    hidden_size: int = 128
+    det_channel: int = 128
+    heads: int = 4
+    depth: int = 2
+    bn_momentum: float = 0.9
+    multiview_offset: int = 6  # point_clouds[..., 6:6+128] (relation:101)
+    multiview_dim: int = 128
+
+    @nn.compact
+    def __call__(
+        self,
+        proposal_features: jax.Array,  # (B, K, det_channel) = pred_bbox_feature
+        corners: jax.Array,  # (B, K, 8, 3) pred_bbox_corner
+        point_clouds: jax.Array,  # (B, N, C_in) raw input cloud
+        seed_inds: jax.Array,  # (B, S) i32 indices into N
+        aggregated_vote_inds: jax.Array,  # (B, K) i32 indices into S
+        *,
+        train: bool = False,
+    ):
+        x = nn.Dense(self.hidden_size)(proposal_features)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+        )(x)
+        x = PReLU(self.hidden_size)(x)
+        features = nn.Dense(self.hidden_size)(x)
+
+        # multiview per-proposal feature: point_clouds -> seed -> proposal
+        obj_feat = jax.lax.dynamic_slice_in_dim(
+            point_clouds, self.multiview_offset, self.multiview_dim, axis=2
+        )  # (B, N, 128)
+        seed_mv = jnp.take_along_axis(
+            obj_feat, seed_inds[..., None], axis=1
+        )  # (B, S, 128)
+        proposal_mv = jnp.take_along_axis(
+            seed_mv, aggregated_vote_inds[..., None], axis=1
+        )  # (B, K, 128)
+
+        # geometric attention bias inputs
+        centers = corners.mean(axis=-2)  # (B, K, 3)
+        offsets = centers[:, None, :, :] - centers[:, :, None, :]  # (B,K,K,3)
+        dist = jnp.sqrt(jnp.sum(offsets**2, axis=-1, keepdims=True))
+        geo = jax.lax.stop_gradient(
+            jnp.concatenate([offsets, dist], axis=-1)
+        )  # (B, K, K, 4)
+
+        # box embedding input: [aabb centers, corners - center] (27-d)
+        cmin = jnp.min(corners, axis=2)
+        cmax = jnp.max(corners, axis=2)
+        box_centers = (cmin + cmax) / 2.0
+        b, k = box_centers.shape[:2]
+        box_feat = jnp.concatenate(
+            [
+                box_centers,
+                (corners - box_centers[:, :, None, :]).reshape(b, k, 24),
+            ],
+            axis=-1,
+        )
+
+        dist_weights = None
+        for i in range(self.depth):
+            w = geo
+            w = nn.Dense(32, name=f"attn_fc{i}_0")(w)
+            w = nn.relu(w)
+            w = nn.LayerNorm(epsilon=1e-5, name=f"attn_ln{i}_0")(w)
+            w = nn.Dense(32, name=f"attn_fc{i}_1")(w)
+            w = nn.relu(w)
+            w = nn.LayerNorm(epsilon=1e-5, name=f"attn_ln{i}_1")(w)
+            w = nn.Dense(self.heads, name=f"attn_fc{i}_2")(w)
+            dist_weights = w.transpose(0, 3, 1, 2)  # (B, h, K, K)
+
+            obj_embedding = nn.Dense(
+                self.hidden_size, name=f"obj_embedding_{i}"
+            )(proposal_mv)
+            features = features + obj_embedding * 0.1
+
+            bbox_embedding = nn.Dense(
+                self.hidden_size, name=f"bbox_embedding_{i}"
+            )(box_feat)
+            features = features + bbox_embedding
+
+            features = MultiHeadAttention(
+                self.hidden_size, self.heads, name=f"self_attn_{i}"
+            )(
+                features,
+                features,
+                features,
+                attention_weights=dist_weights,
+                way="add",
+                deterministic=not train,
+            )
+
+        return {"bbox_feature": features, "dist_weights": dist_weights}

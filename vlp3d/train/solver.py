@@ -1,0 +1,317 @@
+"""Training solver: epoch loop, curriculum, eval, best-model checkpoints.
+
+Port of `lib/joint/solver_3dvlp.py` (Solver.__call__/_feed, :273-1245):
+
+  * per epoch: dataset.shuffle_data() re-chunks sentences, train feed,
+    val feed with grounding metrics, best-model selection keyed on
+    2 x iou_rate_0.5 (criterion 'sum', solver:1114-1128);
+  * curriculum handled inside the compiled loss (epoch-50 switches ride
+    jnp.where) — the solver only passes the epoch scalar;
+  * BN momentum schedule (detection/grounding runs) rebuilds the model
+    def every bn_decay_step epochs (one recompile per 20 epochs);
+  * checkpoints: model_last every epoch, epoch_50 at epoch 49,
+    ground_model / ground_model_25 / ground_model_5 / model on val best,
+    full train-state checkpoint every 10 epochs (solver:353-354, 1221-1245);
+  * phase timers (fetch/forward/iter) + JSONL metric log (stands in for
+    the tensorboardX/wandb writers, solver:218-228, 485-565).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from vlp3d.config import Config
+from vlp3d.data.dataset import BatchIterator
+from vlp3d.eval.grounding import final_eval_breakdown, get_eval
+from vlp3d.models.jointnet import JointNet
+from vlp3d.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+from vlp3d.train import checkpoint as ckpt
+from vlp3d.train.optimizer import make_optimizer
+from vlp3d.train.schedules import bn_momentum_torch, cosine_lr
+from vlp3d.train.state import TrainState, create_state, make_eval_step, make_train_step
+from vlp3d.utils.timers import PhaseTimers, eta_str
+
+
+class Solver:
+    def __init__(
+        self,
+        config: Config,
+        train_dataset,
+        val_dataset,
+        workdir: str,
+        *,
+        caption: bool = False,
+        detection: bool = True,
+        reference: bool = True,
+        use_bn_schedule: bool = False,
+        val_step: int = 1,
+        log_every: int = 50,
+        mesh=None,
+        seed: int = 42,
+    ):
+        self.config = config
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.caption = caption
+        self.detection = detection
+        self.reference = reference
+        self.use_bn_schedule = use_bn_schedule
+        self.log_every = log_every
+        self.mesh = mesh or make_mesh_for_batch(config.train.batch_size)
+        self.rng = jax.random.key(seed)
+        self.np_rng = np.random.default_rng(seed)
+        self.timers = PhaseTimers()
+        self.mean_size_arr = config.dataset.mean_size_arr()
+
+        steps_per_epoch = max(
+            len(train_dataset) // config.train.batch_size, 1
+        )
+        t_max = min(config.train.epochs, 200)
+        self.optimizer = make_optimizer(
+            base_lr=config.train.lr,
+            module_lr=config.train.module_lr,
+            weight_decay=config.train.weight_decay,
+            lr_schedule=lambda e: cosine_lr(
+                e, 1.0, t_max, config.train.coslr_eta_min / config.train.lr
+            ),
+            steps_per_epoch=steps_per_epoch,
+        )
+        self._model_cache: dict = {}
+        self.state: TrainState | None = None
+        self.best = {
+            "epoch": 0, "sum": -1e10, "ground_sum": -1e10,
+            "ground_25": -1e10, "ground_5": -1e10, "caption_sum": -1e10,
+        }
+        self._logf = open(os.path.join(workdir, "log.jsonl"), "a")
+
+    # ------------------------------------------------------------ model
+    def _bn_momentum(self, epoch: int) -> float:
+        if not self.use_bn_schedule:
+            return 0.9
+        return 1.0 - bn_momentum_torch(
+            epoch,
+            self.config.train.bn_momentum_init,
+            0.5,
+            self.config.train.bn_decay_step,
+            self.config.train.bn_momentum_min,
+        )
+
+    def _get_steps(self, epoch: int):
+        """model + jitted train/eval steps for this epoch's BN momentum
+        (recompiles only when the momentum value changes)."""
+        m = round(self._bn_momentum(epoch), 6)
+        if m not in self._model_cache:
+            model = JointNet(self.config, bn_momentum=m)
+            train_step = jax.jit(
+                make_train_step(
+                    model,
+                    self.config,
+                    self.optimizer,
+                    caption=self.caption,
+                    reference=self.reference,
+                    detection=self.detection,
+                )
+            )
+            eval_step = jax.jit(
+                make_eval_step(
+                    model,
+                    self.config,
+                    caption=False,
+                    reference=self.reference,
+                    detection=self.detection,
+                )
+            )
+            self._model_cache[m] = (model, train_step, eval_step)
+        return self._model_cache[m]
+
+    def init_state(self, sample_batch: dict):
+        model, _, _ = self._get_steps(0)
+        self.state = create_state(
+            model, self.optimizer, sample_batch, self.config.train.seed
+        )
+        self.state = replicate(self.mesh, self.state)
+
+    # ------------------------------------------------------------ feeds
+    def _log(self, record: dict):
+        record["time"] = time.time()
+        self._logf.write(json.dumps(record, default=float) + "\n")
+        self._logf.flush()
+
+    def train_epoch(self, epoch: int) -> dict:
+        cfg = self.config
+        self.train_dataset.shuffle_data()
+        loader = BatchIterator(
+            self.train_dataset,
+            cfg.train.batch_size,
+            epoch=epoch,
+            rng=self.np_rng,
+        )
+        _, train_step, _ = self._get_steps(epoch)
+        n_iters = len(loader)
+        agg = []
+        self.timers.start("fetch")
+        for it, batch in enumerate(loader):
+            self.timers.stop("fetch")
+            batch = shard_batch(
+                self.mesh, {k: v for k, v in batch.items()
+                            if not isinstance(v, list)}
+            )
+            self.timers.start("iter")
+            self.state, metrics = train_step(self.state, batch, self.rng)
+            if it % self.log_every == 0 or it == n_iters - 1:
+                scal = {k: float(v) for k, v in metrics.items()}
+                agg.append(scal)
+                self._log(
+                    {
+                        "phase": "train",
+                        "epoch": epoch,
+                        "iter": it,
+                        **scal,
+                        **self.timers.report(),
+                        "eta": eta_str(
+                            self.timers.mean("iter"), n_iters - it
+                        ),
+                    }
+                )
+            self.timers.stop("iter")
+            self.timers.start("fetch")
+        self.timers.stop("fetch")
+        return {
+            k: float(np.mean([a[k] for a in agg]))
+            for k in agg[0]
+        } if agg else {}
+
+    def eval_epoch(self, epoch: int) -> dict:
+        cfg = self.config
+        loader = BatchIterator(
+            self.val_dataset,
+            cfg.train.batch_size,
+            epoch=epoch,
+            drop_last=False,
+            rng=self.np_rng,
+        )
+        _, _, eval_step = self._get_steps(epoch)
+        ious, multiple, others, lang_accs, scalars = [], [], [], [], []
+        for batch in loader:
+            arrays = {
+                k: v for k, v in batch.items() if not isinstance(v, list)
+            }
+            # fixed-size eval: pad the trailing partial batch
+            b = arrays["point_clouds"].shape[0]
+            pad = cfg.train.batch_size - b
+            if pad:
+                arrays = {
+                    k: (
+                        np.concatenate(
+                            [v, np.repeat(v[-1:], pad, axis=0)]
+                        )
+                        if hasattr(v, "ndim") and v.ndim >= 1
+                        and v.shape[0] == b
+                        else v
+                    )
+                    for k, v in arrays.items()
+                }
+            sharded = shard_batch(self.mesh, arrays)
+            out, metrics = eval_step(self.state, sharded)
+            out_np = jax.device_get(
+                {
+                    k: out[k]
+                    for k in (
+                        "objectness_scores", "cluster_ref", "pred_center",
+                        "pred_size", "pred_heading", "sem_cls_scores",
+                        "lang_scores",
+                    )
+                    if k in out
+                }
+            )
+            if pad:
+                full = cfg.train.batch_size
+                l = arrays["input_ids"].shape[1]
+
+                def unpad(v):
+                    if not hasattr(v, "ndim") or v.ndim == 0:
+                        return v
+                    if v.shape[0] == full:
+                        return v[:b]
+                    if v.shape[0] == full * l:
+                        return v.reshape(full, l, *v.shape[1:])[:b].reshape(
+                            b * l, *v.shape[1:]
+                        )
+                    return v
+
+                out_np = {k: unpad(v) for k, v in out_np.items()}
+                arrays = {k: unpad(v) for k, v in arrays.items()}
+            g = get_eval(
+                out_np,
+                arrays,
+                mean_size_arr=self.mean_size_arr,
+                use_lang_classifier=self.config.model.use_lang_classifier,
+            )
+            ious += g["ref_iou"]
+            multiple += g["ref_multiple_mask"]
+            others += g["ref_others_mask"]
+            lang_accs.append(g["lang_acc"])
+            scalars.append({k: float(v) for k, v in metrics.items()})
+
+        ious_np = np.asarray(ious)
+        result = {
+            "iou_rate_0.25": float((ious_np >= 0.25).mean()) if len(ious) else 0.0,
+            "iou_rate_0.5": float((ious_np >= 0.5).mean()) if len(ious) else 0.0,
+            "lang_acc": float(np.mean(lang_accs)) if lang_accs else 0.0,
+            **final_eval_breakdown(ious, multiple, others),
+        }
+        if scalars:
+            for k in scalars[0]:
+                result[k] = float(np.mean([s[k] for s in scalars]))
+        self._log({"phase": "val", "epoch": epoch, **{
+            k: v for k, v in result.items() if np.ndim(v) == 0}})
+        return result
+
+    # ------------------------------------------------------------ loop
+    def __call__(self, epochs: int, *, eval_every: int = 1) -> dict:
+        for epoch in range(epochs):
+            self.train_epoch(epoch)
+            ckpt.save_params(self.workdir, "model_last", self.state.params)
+            if epoch == 49:
+                ckpt.save_params(self.workdir, "epoch_50", self.state.params)
+
+            if (epoch + 1) % eval_every == 0:
+                val = self.eval_epoch(epoch)
+                ground_sum = val["iou_rate_0.5"]
+                cur_best = ground_sum * 2  # criterion 'sum' (solver:1126-1128)
+                if cur_best > self.best["sum"]:
+                    self.best.update(
+                        epoch=epoch + 1, sum=cur_best, **{
+                            k: v for k, v in val.items() if np.ndim(v) == 0
+                        }
+                    )
+                    ckpt.save_params(self.workdir, "model", self.state.params)
+                if ground_sum > self.best["ground_sum"]:
+                    self.best["ground_sum"] = ground_sum
+                    ckpt.save_params(
+                        self.workdir, "ground_model", self.state.params
+                    )
+                if val["iou_rate_0.25"] > self.best["ground_25"]:
+                    self.best["ground_25"] = val["iou_rate_0.25"]
+                    ckpt.save_params(
+                        self.workdir, "ground_model_25", self.state.params
+                    )
+                if val["iou_rate_0.5"] > self.best["ground_5"]:
+                    self.best["ground_5"] = val["iou_rate_0.5"]
+                    ckpt.save_params(
+                        self.workdir, "ground_model_5", self.state.params
+                    )
+
+            if epoch % 10 == 0 and epoch != 0:
+                ckpt.save_checkpoint(
+                    self.workdir, self.state, self.best, epoch
+                )
+        ckpt.save_checkpoint(self.workdir, self.state, self.best, epochs - 1)
+        return self.best
