@@ -38,7 +38,9 @@ def main():
     )
     model = JointNet(config)
     rngs = {"params": jax.random.key(0)}
-    variables = model.init(rngs, batch, train=False)
+    # jit the init: eager init dispatches thousands of tiny ops (slow over
+    # the axon tunnel); one compiled program instead
+    variables = jax.jit(lambda b: model.init(rngs, b, train=False))(batch)
 
     @jax.jit
     def infer(variables, batch):

@@ -73,6 +73,7 @@ class ModelConfig:
     mask_box: bool = False
     use_lang_classifier: bool = True
     no_reference: bool = False
+    use_mlcv_net: bool = False  # CGNL voting variant (jointnet.py:63-69)
 
 
 @dataclasses.dataclass(frozen=True)

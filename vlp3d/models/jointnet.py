@@ -51,7 +51,14 @@ class JointNet(nn.Module):
             radii=tuple(cfg.sa_radii),
             nsamples=tuple(cfg.sa_nsamples),
         )
-        self.vgen = VotingModule(cfg.vote_factor, 256, self.bn_momentum)
+        if cfg.use_mlcv_net:
+            from vlp3d.models.mlcvnet import MLCVVotingModule
+
+            self.vgen = MLCVVotingModule(
+                cfg.vote_factor, 256, self.bn_momentum
+            )
+        else:
+            self.vgen = VotingModule(cfg.vote_factor, 256, self.bn_momentum)
         self.proposal = ProposalModule(
             num_class=ds.num_class,
             num_heading_bin=ds.num_heading_bin,
