@@ -31,18 +31,33 @@ from jax import lax
 
 
 def _ball_query_chunk(centers, xyz, radius, nsample):
-    """centers: (B, C, 3), xyz: (B, N, 3) -> idx (B, C, nsample) i32."""
+    """centers: (B, C, 3), xyz: (B, N, 3) -> idx (B, C, nsample) i32.
+
+    First-k selection via cumulative count + binary search: the running
+    in-ball count along the scan axis is nondecreasing, so the s-th
+    neighbour's index is searchsorted(cumsum, s+1). O(N + S log N) per
+    center — replaces a lax.top_k over all N keys, which lowers to a full
+    bitonic sort on TPU and dominated the SA1 runtime.
+    """
     n = xyz.shape[1]
     d2 = jnp.sum(
         (centers[:, :, None, :] - xyz[:, None, :, :]) ** 2, axis=-1
     )  # (B, C, N)
     in_ball = d2 < radius * radius
-    k = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
-    key = jnp.where(in_ball, 2 * n - k, 0)
-    vals, idx = lax.top_k(key, nsample)  # descending; ties -> lowest index
-    hit = vals > 0
-    pad = jnp.where(hit[..., :1], idx[..., :1], 0)
-    return jnp.where(hit, idx, pad).astype(jnp.int32)
+    cum = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1)
+    count = cum[..., -1]  # (B, C)
+
+    targets = jnp.arange(1, nsample + 1, dtype=jnp.int32)
+    search = jax.vmap(
+        jax.vmap(lambda row: jnp.searchsorted(row, targets, side="left"))
+    )
+    idx = search(cum).astype(jnp.int32)  # (B, C, S), == n where no such point
+
+    slot_valid = targets[None, None, :] <= count[..., None]
+    first = jnp.where(count[..., None] > 0, idx[..., :1], 0)
+    return jnp.where(slot_valid, jnp.minimum(idx, n - 1), first).astype(
+        jnp.int32
+    )
 
 
 def ball_query(
