@@ -1,0 +1,66 @@
+"""Scene / box visualization dumps (PLY + OBJ).
+
+Equivalent of the reference's visualizer scripts
+(scripts/joint_scripts/{ground,caption}_visualize.py,
+models/mlcvnet/dump_helper.py): write point clouds and predicted/GT boxes
+as PLY (points) and OBJ wireframes for external viewers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BOX_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 0),
+    (4, 5), (5, 6), (6, 7), (7, 4),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+]
+
+
+def write_ply_points(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None):
+    """xyz (N, 3) float; rgb (N, 3) uint8 optional -> ascii PLY."""
+    n = len(xyz)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if rgb is not None:
+            f.write(
+                "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            )
+        f.write("end_header\n")
+        for i in range(n):
+            row = f"{xyz[i,0]:.4f} {xyz[i,1]:.4f} {xyz[i,2]:.4f}"
+            if rgb is not None:
+                row += f" {int(rgb[i,0])} {int(rgb[i,1])} {int(rgb[i,2])}"
+            f.write(row + "\n")
+
+
+def write_obj_boxes(path: str, corners: np.ndarray):
+    """corners (K, 8, 3) -> OBJ wireframe (12 edges per box)."""
+    with open(path, "w") as f:
+        for box in corners:
+            for v in box:
+                f.write(f"v {v[0]:.4f} {v[1]:.4f} {v[2]:.4f}\n")
+        for bi in range(len(corners)):
+            off = bi * 8
+            for a, b in _BOX_EDGES:
+                f.write(f"l {off + a + 1} {off + b + 1}\n")
+
+
+def dump_scene(
+    out_prefix: str,
+    point_cloud: np.ndarray,  # (N, >=3)
+    pred_corners: np.ndarray | None = None,  # (K, 8, 3)
+    gt_corners: np.ndarray | None = None,
+    pcl_color: np.ndarray | None = None,  # (N, 3) 0-255
+):
+    write_ply_points(
+        out_prefix + "_scene.ply",
+        np.asarray(point_cloud)[:, :3],
+        None if pcl_color is None else np.asarray(pcl_color).astype(np.uint8),
+    )
+    if pred_corners is not None and len(pred_corners):
+        write_obj_boxes(out_prefix + "_pred.obj", np.asarray(pred_corners))
+    if gt_corners is not None and len(gt_corners):
+        write_obj_boxes(out_prefix + "_gt.obj", np.asarray(gt_corners))
