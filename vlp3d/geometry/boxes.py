@@ -80,11 +80,32 @@ def get_3d_box_batch(
       (..., 8, 3) corners: signs * size/2 @ roty(heading)^T + center,
       bit-matching get_3d_box_batch (box_util.py:361-386) including its
       roty-not-rotz convention.
+
+    The rotation is expanded elementwise instead of a batched (8,3)@(3,3)
+    dot_general — the tiny-matmul form costs SECONDS on TPU (measured ~4s
+    at B=8, K=256 inside the full graph; this form is ~free).
     """
-    r = roty_batch(heading_angle)  # (..., 3, 3)
     half = box_size[..., None, :] * _CORNER_SIGNS / 2.0  # (..., 8, 3)
-    corners = jnp.einsum("...kj,...ij->...ki", half, r)
-    return corners + center[..., None, :]
+    c = jnp.cos(heading_angle)[..., None]
+    s = jnp.sin(heading_angle)[..., None]
+    hx, hy, hz = half[..., 0], half[..., 1], half[..., 2]
+    # half @ roty(t)^T with roty rows [(c,0,s), (0,1,0), (-s,0,c)]
+    out = jnp.stack(
+        [hx * c + hz * s, hy, -hx * s + hz * c], axis=-1
+    )
+    return out + center[..., None, :]
+
+
+def rotate_rotz_rows(v: jax.Array, t: jax.Array) -> jax.Array:
+    """Row-vector product v @ rotz_batch(t) expanded elementwise.
+
+    v: (..., 3); t: (...,). Matches torch.matmul(v.unsqueeze(1), R)
+    (proposal_module_fcos.py:116-117) without a tiny batched dot_general.
+    rotz rows: [(c,-s,0), (s,c,0), (0,0,1)] -> (v @ R)_x = vx*c + vy*s, etc.
+    """
+    c, s = jnp.cos(t), jnp.sin(t)
+    vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([vx * c + vy * s, -vx * s + vy * c, vz], axis=-1)
 
 
 def box3d_diou(center1, size1, center2, size2):

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from vlp3d.geometry.boxes import rotz_batch
+from vlp3d.geometry.boxes import rotate_rotz_rows
 from vlp3d.geometry.nn_distance import huber_loss, nn_distance
 
 NEAR_THRESHOLD = 0.3
@@ -108,8 +108,7 @@ def recover_assigned_gt_bboxes(
     half = gt_size / 2.0
 
     rel = aggregated_vote_xyz - gt_center
-    r = rotz_batch(-gt_heading)  # (B, K, 3, 3)
-    rel = jnp.einsum("bkj,bkji->bki", rel, r)  # row-vector @ R
+    rel = rotate_rotz_rows(rel, -gt_heading)  # row-vector @ R
     bld = half + rel
     fru = half - rel
     gt_distance = jnp.concatenate([bld, fru], axis=-1)  # (B, K, 6)

@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vlp3d.geometry.boxes import get_3d_box_batch, rotz_batch
+from vlp3d.geometry.boxes import get_3d_box_batch, rotate_rotz_rows
 from vlp3d.models.layers import SAModule
 
 
@@ -92,8 +92,7 @@ def decode_boxes(
 
     pred_size = rois[..., 0:3] + rois[..., 3:6]
     offset = (rois[..., 0:3] - rois[..., 3:6]) / 2.0
-    r = rotz_batch(pred_heading)  # (B, K, 3, 3)
-    offset = jnp.einsum("bkj,bkji->bki", offset, r)  # row-vector @ R
+    offset = rotate_rotz_rows(offset, pred_heading)  # row-vector @ R
     pred_center = aggregated_vote_xyz - offset
     corners = get_3d_box_batch(pred_size, pred_heading, pred_center)
     return pred_center, pred_size, pred_heading, corners

@@ -31,6 +31,10 @@ class RelationModule(nn.Module):
     bn_momentum: float = 0.9
     multiview_offset: int = 6  # point_clouds[..., 6:6+128] (relation:101)
     multiview_dim: int = 128
+    # the reference hardcodes these True (relation_module.py:12-14)
+    use_dist_weight_matrix: bool = True
+    use_obj_embedding: bool = True
+    use_box_embedding: bool = True
 
     @nn.compact
     def __call__(
@@ -52,16 +56,21 @@ class RelationModule(nn.Module):
         x = PReLU(self.hidden_size)(x)
         features = nn.Dense(self.hidden_size)(x)
 
-        # multiview per-proposal feature: point_clouds -> seed -> proposal
-        obj_feat = jax.lax.dynamic_slice_in_dim(
-            point_clouds, self.multiview_offset, self.multiview_dim, axis=2
-        )  # (B, N, 128)
-        seed_mv = jnp.take_along_axis(
-            obj_feat, seed_inds[..., None], axis=1
-        )  # (B, S, 128)
-        proposal_mv = jnp.take_along_axis(
-            seed_mv, aggregated_vote_inds[..., None], axis=1
-        )  # (B, K, 128)
+        # multiview per-proposal feature: point_clouds -> seed -> proposal.
+        # Compose the two index hops first (cheap (B, K) gather), then do a
+        # single K-row feature gather instead of the reference's
+        # seed-level + proposal-level feature gathers.
+        if self.use_obj_embedding:
+            obj_feat = jax.lax.dynamic_slice_in_dim(
+                point_clouds, self.multiview_offset, self.multiview_dim,
+                axis=2,
+            )  # (B, N, 128)
+            point_idx = jnp.take_along_axis(
+                seed_inds, aggregated_vote_inds, axis=1
+            )  # (B, K) indices into N
+            proposal_mv = jnp.take_along_axis(
+                obj_feat, point_idx[..., None], axis=1
+            )  # (B, K, 128)
 
         # geometric attention bias inputs
         centers = corners.mean(axis=-2)  # (B, K, 3)
@@ -86,25 +95,28 @@ class RelationModule(nn.Module):
 
         dist_weights = None
         for i in range(self.depth):
-            w = geo
-            w = nn.Dense(32, name=f"attn_fc{i}_0")(w)
-            w = nn.relu(w)
-            w = nn.LayerNorm(epsilon=1e-5, name=f"attn_ln{i}_0")(w)
-            w = nn.Dense(32, name=f"attn_fc{i}_1")(w)
-            w = nn.relu(w)
-            w = nn.LayerNorm(epsilon=1e-5, name=f"attn_ln{i}_1")(w)
-            w = nn.Dense(self.heads, name=f"attn_fc{i}_2")(w)
-            dist_weights = w.transpose(0, 3, 1, 2)  # (B, h, K, K)
+            if self.use_dist_weight_matrix:
+                w = geo
+                w = nn.Dense(32, name=f"attn_fc{i}_0")(w)
+                w = nn.relu(w)
+                w = nn.LayerNorm(epsilon=1e-5, name=f"attn_ln{i}_0")(w)
+                w = nn.Dense(32, name=f"attn_fc{i}_1")(w)
+                w = nn.relu(w)
+                w = nn.LayerNorm(epsilon=1e-5, name=f"attn_ln{i}_1")(w)
+                w = nn.Dense(self.heads, name=f"attn_fc{i}_2")(w)
+                dist_weights = w.transpose(0, 3, 1, 2)  # (B, h, K, K)
 
-            obj_embedding = nn.Dense(
-                self.hidden_size, name=f"obj_embedding_{i}"
-            )(proposal_mv)
-            features = features + obj_embedding * 0.1
+            if self.use_obj_embedding:
+                obj_embedding = nn.Dense(
+                    self.hidden_size, name=f"obj_embedding_{i}"
+                )(proposal_mv)
+                features = features + obj_embedding * 0.1
 
-            bbox_embedding = nn.Dense(
-                self.hidden_size, name=f"bbox_embedding_{i}"
-            )(box_feat)
-            features = features + bbox_embedding
+            if self.use_box_embedding:
+                bbox_embedding = nn.Dense(
+                    self.hidden_size, name=f"bbox_embedding_{i}"
+                )(box_feat)
+                features = features + bbox_embedding
 
             features = MultiHeadAttention(
                 self.hidden_size, self.heads, name=f"self_attn_{i}"
@@ -113,7 +125,7 @@ class RelationModule(nn.Module):
                 features,
                 features,
                 attention_weights=dist_weights,
-                way="add",
+                way="add" if self.use_dist_weight_matrix else "mul",
                 deterministic=not train,
             )
 
