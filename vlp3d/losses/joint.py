@@ -196,10 +196,17 @@ def compute_joint_loss(
         loss = loss + cfg_l.mlm_weight * mlm
 
     if cfg_m.use_answer and "answer_scores" in outputs:
+        n_rows = outputs["answer_scores"].shape[0]
+
+        def flat(x):
+            if x is None:
+                return None
+            return x.reshape(n_rows, *x.shape[2:]) if x.ndim >= 2 and x.shape[0] != n_rows else x
+
         ans = compute_answer_classification_loss(
             outputs["answer_scores"],
-            batch.get("answer_cat_scores"),
-            batch.get("answer_cat"),
+            flat(batch.get("answer_cat_scores")),
+            flat(batch.get("answer_cat")),
         )
         m["answer_loss"] = ans
         loss = loss + ans
