@@ -40,7 +40,7 @@ class TestJointNetForward:
         assert out["aggregated_vote_xyz"].shape == (b, k, 3)
         assert out["objectness_scores"].shape == (b, k, 2)
         assert out["pred_center"].shape == (b, k, 3)
-        assert out["pred_bbox_corner"].shape == (b, k, 8, 3)
+        assert "pred_bbox_corner" not in out  # corners stay out of the jit
         assert out["bbox_feature"].shape == (b, k, 128)
         assert out["cluster_ref"].shape == (b * l, k)
         assert out["lang_emb"].shape == (b * l, 128)

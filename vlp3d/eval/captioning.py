@@ -69,9 +69,10 @@ def collect_caption_candidates(
     (feed_scene_cap, eval_helper.py:79-275).
 
     outputs needs: lang_cap_ids (B, K, T), pred_center/size/heading,
-    objectness_scores, sem_cls_scores, pred_bbox_corner, point_clouds
-    via batch. batch needs: gt_box_corner_label, scene_object_ids,
-    scene_id list.
+    objectness_scores, sem_cls_scores; point_clouds via batch. batch needs:
+    gt_box_corner_label, scene_object_ids, scene_id list. Predicted corners
+    are reconstructed HERE on host (numpy) — the jitted forward does not
+    emit corner tensors.
     """
     candidates = candidates if candidates is not None else {}
     pred_mask, _ = parse_predictions(
@@ -89,7 +90,20 @@ def collect_caption_candidates(
         object_assignment[:, :, None, None],
         axis=1,
     )
-    pred_corners = np.asarray(outputs["pred_bbox_corner"])
+    from vlp3d.eval.box_iou import get_3d_box
+
+    pc = np.asarray(outputs["pred_center"])
+    ps = np.asarray(outputs["pred_size"])
+    ph = np.asarray(outputs["pred_heading"])
+    pred_corners = np.stack(
+        [
+            np.stack(
+                [get_3d_box(ps[i, j], float(ph[i, j]), pc[i, j])
+                 for j in range(pc.shape[1])]
+            )
+            for i in range(pc.shape[0])
+        ]
+    )
     ious = box3d_iou(gt_corners, pred_corners)  # (B, K) AABB corner IoU
     good = ious > min_iou
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Corner sign pattern (8, 3) in the reference's order (box_util.py:375-380):
 # x: +,+,-,-,+,+,-,-   y: +,-,-,+,+,-,-,+   z: +,+,+,+,-,-,-,-
@@ -94,6 +95,50 @@ def get_3d_box_batch(
         [hx * c + hz * s, hy, -hx * s + hz * c], axis=-1
     )
     return out + center[..., None, :]
+
+
+def corner_offsets_flat(
+    box_size: jax.Array, heading_angle: jax.Array
+) -> jax.Array:
+    """(corners - center) flattened to (..., 24) WITHOUT materializing any
+    (..., 8, 3) tensor.
+
+    TPU layout note: tensors with trailing dims (8, 3) cost SECONDS to
+    materialize on this backend (measured ~4s for a (8,256,8,3) output or
+    intermediate at B=8); building the 24 components lane-wise on the last
+    axis avoids the pathological tiling. Order matches
+    get_3d_box_batch(...) - center reshaped C-order: [dx0, dy0, dz0, dx1,
+    ...] with the reference corner sign pattern and roty rotation.
+    """
+    c = jnp.cos(heading_angle)
+    s = jnp.sin(heading_angle)
+    hl = box_size[..., 0] / 2.0
+    hw = box_size[..., 1] / 2.0
+    hh = box_size[..., 2] / 2.0
+    comps = []
+    for sx, sy, sz in np.asarray(_CORNER_SIGNS):
+        # (sx*hl, sy*hw, sz*hh) @ roty(t)^T, elementwise
+        comps += [
+            sx * hl * c + sz * hh * s,
+            sy * hw,
+            -sx * hl * s + sz * hh * c,
+        ]
+    return jnp.stack(comps, axis=-1)  # (..., 24)
+
+
+def aabb_extents_from_params(
+    box_size: jax.Array, heading_angle: jax.Array
+) -> jax.Array:
+    """Half-extents of the AABB of the roty-rotated box (..., 3) —
+    equivalent to (max(corners) - min(corners)) / 2 without corners."""
+    c = jnp.abs(jnp.cos(heading_angle))
+    s = jnp.abs(jnp.sin(heading_angle))
+    hl = box_size[..., 0] / 2.0
+    hw = box_size[..., 1] / 2.0
+    hh = box_size[..., 2] / 2.0
+    return jnp.stack(
+        [hl * c + hh * s, hw, hl * s + hh * c], axis=-1
+    )
 
 
 def rotate_rotz_rows(v: jax.Array, t: jax.Array) -> jax.Array:

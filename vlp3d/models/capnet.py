@@ -202,7 +202,9 @@ class CapNet(nn.Module):
                 name="relation",
             )(
                 out["aggregated_vote_features"],
-                out["pred_bbox_corner"],
+                out["pred_center"],
+                out["pred_size"],
+                out["pred_heading"],
                 batch["point_clouds"],
                 out["seed_inds"],
                 out["aggregated_vote_inds"],
@@ -226,8 +228,14 @@ class CapNet(nn.Module):
         target_feat = jnp.take_along_axis(
             feats, target_ids[:, None, None], axis=1
         )[:, 0]
+        # legacy path: corners materialized here only (CapNet standalone)
+        from vlp3d.geometry.boxes import get_3d_box_batch
+
+        pred_corners = get_3d_box_batch(
+            out["pred_size"], out["pred_heading"], out["pred_center"]
+        )
         corners = jnp.repeat(
-            out["pred_bbox_corner"][:, None], l, 1
+            pred_corners[:, None], l, 1
         ).reshape(b * l, k, 8, 3)
         obj_masks = jnp.repeat(
             out["objectness_masks"][:, None], l, 1

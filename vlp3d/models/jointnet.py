@@ -134,7 +134,9 @@ class JointNet(nn.Module):
         out.update(
             self.relation(
                 out["aggregated_vote_features"],
-                out["pred_bbox_corner"],
+                out["pred_center"],
+                out["pred_size"],
+                out["pred_heading"],
                 batch["point_clouds"],
                 out["seed_inds"],
                 out["aggregated_vote_inds"],

@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vlp3d.geometry.boxes import get_3d_box_batch, rotate_rotz_rows
+from vlp3d.geometry.boxes import rotate_rotz_rows
 from vlp3d.models.layers import SAModule
 
 
@@ -73,12 +73,14 @@ def decode_boxes(
     heading_residuals: jax.Array,
     num_heading_bin: int,
 ):
-    """ROI distances -> (center, size, heading, corners), all on device.
+    """ROI distances -> (center, size, heading), all on device.
 
     Matches decode_pred_box (proposal_module_fcos.py:94-131): the (bld-fru)/2
     offset is rotated as a row vector through rotz(heading) and subtracted
-    from the aggregation center; corners reproduce get_3d_box_batch's
-    roty convention.
+    from the aggregation center. Corners are NOT produced here —
+    (B, K, 8, 3) tensors are pathologically slow to materialize on TPU
+    (~4s measured); consumers use closed forms
+    (geometry.corner_offsets_flat) or compute corners host-side.
     """
     pred_heading_class = jnp.argmax(heading_scores, axis=-1)  # (B, K)
     pred_heading_residual = jnp.take_along_axis(
@@ -94,8 +96,7 @@ def decode_boxes(
     offset = (rois[..., 0:3] - rois[..., 3:6]) / 2.0
     offset = rotate_rotz_rows(offset, pred_heading)  # row-vector @ R
     pred_center = aggregated_vote_xyz - offset
-    corners = get_3d_box_batch(pred_size, pred_heading, pred_center)
-    return pred_center, pred_size, pred_heading, corners
+    return pred_center, pred_size, pred_heading
 
 
 def mask_boxes(rng: jax.Array, pred_center: jax.Array, pred_size: jax.Array):
@@ -173,7 +174,7 @@ class ProposalModule(nn.Module):
         )(agg_features, train=train)
         out.update(head)
 
-        center, size, heading, corners = decode_boxes(
+        center, size, heading = decode_boxes(
             agg_xyz,
             out["rois"],
             out["heading_scores"],
@@ -185,7 +186,6 @@ class ProposalModule(nn.Module):
         out["pred_center"] = center
         out["pred_size"] = size
         out["pred_heading"] = heading
-        out["pred_bbox_corner"] = corners
         out["pred_bbox_feature"] = agg_features
         out["objectness_masks"] = jnp.argmax(
             out["objectness_scores"], axis=-1

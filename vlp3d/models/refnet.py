@@ -75,7 +75,9 @@ class RefNet(nn.Module):
                 name="relation",
             )(
                 out["aggregated_vote_features"],
-                out["pred_bbox_corner"],
+                out["pred_center"],
+                out["pred_size"],
+                out["pred_heading"],
                 batch["point_clouds"],
                 out["seed_inds"],
                 out["aggregated_vote_inds"],

@@ -40,13 +40,20 @@ class RelationModule(nn.Module):
     def __call__(
         self,
         proposal_features: jax.Array,  # (B, K, det_channel) = pred_bbox_feature
-        corners: jax.Array,  # (B, K, 8, 3) pred_bbox_corner
+        pred_center: jax.Array,  # (B, K, 3)
+        pred_size: jax.Array,  # (B, K, 3)
+        pred_heading: jax.Array,  # (B, K)
         point_clouds: jax.Array,  # (B, N, C_in) raw input cloud
         seed_inds: jax.Array,  # (B, S) i32 indices into N
         aggregated_vote_inds: jax.Array,  # (B, K) i32 indices into S
         *,
         train: bool = False,
     ):
+        # Box geometry is consumed in closed form from (center, size,
+        # heading): corner means and AABB centers equal pred_center exactly
+        # (symmetric sign pattern), and the 24 corner offsets are built
+        # lane-wise — materializing (B, K, 8, 3) corner tensors costs ~4s
+        # on TPU (pathological tiling; see geometry.corner_offsets_flat).
         x = nn.Dense(self.hidden_size)(proposal_features)
         x = nn.BatchNorm(
             use_running_average=not train,
@@ -72,24 +79,20 @@ class RelationModule(nn.Module):
                 obj_feat, point_idx[..., None], axis=1
             )  # (B, K, 128)
 
-        # geometric attention bias inputs
-        centers = corners.mean(axis=-2)  # (B, K, 3)
+        # geometric attention bias inputs (centers == mean of corners)
+        centers = pred_center  # (B, K, 3)
         offsets = centers[:, None, :, :] - centers[:, :, None, :]  # (B,K,K,3)
         dist = jnp.sqrt(jnp.sum(offsets**2, axis=-1, keepdims=True))
         geo = jax.lax.stop_gradient(
             jnp.concatenate([offsets, dist], axis=-1)
         )  # (B, K, K, 4)
 
-        # box embedding input: [aabb centers, corners - center] (27-d)
-        cmin = jnp.min(corners, axis=2)
-        cmax = jnp.max(corners, axis=2)
-        box_centers = (cmin + cmax) / 2.0
-        b, k = box_centers.shape[:2]
+        # box embedding input: [aabb center (== pred_center),
+        # corners - center] (27-d), corners built lane-wise
+        from vlp3d.geometry.boxes import corner_offsets_flat
+
         box_feat = jnp.concatenate(
-            [
-                box_centers,
-                (corners - box_centers[:, :, None, :]).reshape(b, k, 24),
-            ],
+            [centers, corner_offsets_flat(pred_size, pred_heading)],
             axis=-1,
         )
 
