@@ -71,8 +71,14 @@ def config_from_args(args) -> Config:
         input_dim += 128
     if args.use_normal:
         input_dim += 3
+    # relation's object embedding slices the multiview channels when
+    # present (relation_module.py:101); otherwise use whatever per-point
+    # features exist
+    mv_offset, mv_dim = (6, 128) if args.use_multiview else (3, input_dim)
     model = ModelConfig(
         input_feature_dim=input_dim,
+        multiview_offset=mv_offset,
+        multiview_dim=mv_dim,
         num_proposal=args.num_proposals,
         lang_num_max=args.lang_num_max,
         no_caption=args.no_caption,
@@ -104,6 +110,29 @@ def config_from_args(args) -> Config:
             seed=args.seed,
         ),
     )
+
+
+def resolve_config(args) -> Config:
+    """config_from_args, or the tiny synthetic config when --smoke."""
+    import dataclasses
+
+    if getattr(args, "smoke", False):
+        from vlp3d.data.synthetic import tiny_config
+
+        tiny = tiny_config(
+            no_caption=args.no_caption,
+            use_con=args.use_con,
+            use_mlm=args.use_mlm,
+            use_answer=args.use_answer,
+        )
+        args.synthetic = True
+        return dataclasses.replace(
+            tiny,
+            train=dataclasses.replace(
+                tiny.train, batch_size=min(args.batch_size, 2), epochs=2
+            ),
+        )
+    return config_from_args(args)
 
 
 def load_scanrefer(scanrefer_dir: str, split: str) -> list:

@@ -16,7 +16,7 @@ import numpy as np
 def main(argv=None):
     import jax
 
-    from vlp3d.cli.common import add_common_args, build_datasets, config_from_args
+    from vlp3d.cli.common import add_common_args, build_datasets, resolve_config
     from vlp3d.data.dataset import BatchIterator
     from vlp3d.eval.detection import (
         APCalculator,
@@ -36,7 +36,7 @@ def main(argv=None):
     p.add_argument("--detection_map", action="store_true")
     args = p.parse_args(argv)
 
-    config = config_from_args(args)
+    config = resolve_config(args)
     _, val_ds = build_datasets(args, config)
     mean_size = config.dataset.mean_size_arr()
 

@@ -18,7 +18,7 @@ import numpy as np
 def main(argv=None):
     import jax
 
-    from vlp3d.cli.common import add_common_args, build_datasets, config_from_args
+    from vlp3d.cli.common import add_common_args, build_datasets, resolve_config
     from vlp3d.data.dataset import BatchIterator
     from vlp3d.eval.box_iou import get_3d_box
     from vlp3d.models.jointnet import JointNet
@@ -32,7 +32,7 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="pred.json")
     args = p.parse_args(argv)
 
-    config = config_from_args(args)
+    config = resolve_config(args)
     _, val_ds = build_datasets(args, config)
 
     model = JointNet(config)

@@ -20,29 +20,13 @@ from datetime import datetime
 
 
 def main(argv=None):
-    from vlp3d.cli.common import add_common_args, build_datasets, config_from_args
+    from vlp3d.cli.common import add_common_args, build_datasets, resolve_config
 
     p = argparse.ArgumentParser()
     add_common_args(p)
     args = p.parse_args(argv)
 
-    config = config_from_args(args)
-    if args.smoke:
-        from vlp3d.data.synthetic import tiny_config
-
-        tiny = tiny_config(
-            no_caption=args.no_caption,
-            use_con=args.use_con,
-            use_mlm=args.use_mlm,
-            use_answer=args.use_answer,
-        )
-        config = dataclasses.replace(
-            tiny,
-            train=dataclasses.replace(
-                tiny.train, batch_size=min(args.batch_size, 2), epochs=2
-            ),
-        )
-        args.synthetic = True
+    config = resolve_config(args)
 
     train_ds, val_ds = build_datasets(args, config)
 

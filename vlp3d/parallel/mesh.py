@@ -48,11 +48,36 @@ def batch_sharding(mesh: Mesh, batch_size: int):
     return spec
 
 
-def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put a host batch dict with data-parallel sharding."""
+# batch keys the compiled train/eval steps actually consume; everything
+# else (host-side eval bookkeeping: corner labels — float64 (...,8,3)
+# arrays whose device layout is pathological — object/ann ids, breakdown
+# masks) stays on host.
+DEVICE_BATCH_KEYS = frozenset(
+    {
+        "point_clouds", "input_ids", "bert_attention_mask", "lang_num",
+        "center_label", "heading_class_label", "heading_residual_label",
+        "size_class_label", "size_residual_label", "sem_cls_label",
+        "box_label_mask", "vote_label", "vote_label_mask",
+        "instance_labels", "ref_center_label_list",
+        "ref_heading_class_label_list", "ref_heading_residual_label_list",
+        "ref_size_class_label_list", "ref_size_residual_label_list",
+        "object_cat_list", "answer_cat", "answer_cats",
+        "answer_cat_scores", "lang_feat", "lang_len", "epoch", "istrain",
+        "random",
+    }
+)
+
+
+def shard_batch(mesh: Mesh, batch: dict, *, device_keys=DEVICE_BATCH_KEYS) -> dict:
+    """Device-put the step-consumed subset of a host batch dict with
+    data-parallel sharding."""
     bs = batch["point_clouds"].shape[0]
     spec = batch_sharding(mesh, bs)
-    return {k: jax.device_put(v, spec(v)) for k, v in batch.items()}
+    return {
+        k: jax.device_put(v, spec(v))
+        for k, v in batch.items()
+        if k in device_keys
+    }
 
 
 def replicate(mesh: Mesh, tree):
