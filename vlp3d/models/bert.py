@@ -99,22 +99,87 @@ class BertLayer(nn.Module):
         )
 
 
+class BertFusionLayer(nn.Module):
+    """Encoder layer with cross-attention (the ALBEF-style fusion layers,
+    xbert.py: layers [fusion_layer, num_hidden_layers) in 'fusion' /
+    'multi_modal' mode)."""
+
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, x, attention_mask, encoder_states, encoder_mask=None,
+                 *, deterministic=True):
+        c = self.config
+        h = c.num_attention_heads
+        dk = c.hidden_size // h
+        b, s, _ = x.shape
+
+        x = BertLayer(self.config, name="self")(
+            x, attention_mask, deterministic=deterministic
+        )
+        t = encoder_states.shape[1]
+        q = nn.Dense(c.hidden_size, name="xq")(x).reshape(b, s, h, dk)
+        k = nn.Dense(c.hidden_size, name="xk")(encoder_states).reshape(
+            b, t, h, dk
+        )
+        v = nn.Dense(c.hidden_size, name="xv")(encoder_states).reshape(
+            b, t, h, dk
+        )
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(jnp.float32(dk))
+        if encoder_mask is not None:
+            att = att + (1.0 - encoder_mask[:, None, None, :]) * -10000.0
+        att = jax.nn.softmax(att, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s, c.hidden_size)
+        ctx = nn.Dense(c.hidden_size, name="xout")(ctx)
+        ctx = nn.Dropout(c.hidden_dropout)(ctx, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="xln")(x + ctx)
+
+
 class BertTextEncoder(nn.Module):
-    """Embeddings + the first `fusion_layer` encoder layers (text mode)."""
+    """Embeddings + encoder with xbert's modes (xbert.py:550-558):
+    'text' runs layers [0, fusion_layer); 'fusion' runs
+    [fusion_layer, num_hidden_layers) with cross-attention;
+    'multi_modal' runs both."""
 
     config: BertConfig = BertConfig()
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask, *, deterministic=True):
-        x = BertEmbeddings(self.config, name="embeddings")(
-            input_ids, deterministic=deterministic
-        )
+    def __call__(self, input_ids, attention_mask, *, deterministic=True,
+                 mode: str = "text", encoder_states=None, encoder_mask=None,
+                 hidden_states=None):
+        c = self.config
         mask = attention_mask.astype(jnp.float32)
-        for i in range(self.config.fusion_layer):
-            x = BertLayer(self.config, name=f"layer_{i}")(
-                x, mask, deterministic=deterministic
+        if mode in ("text", "multi_modal"):
+            x = BertEmbeddings(self.config, name="embeddings")(
+                input_ids, deterministic=deterministic
             )
+            for i in range(c.fusion_layer):
+                x = BertLayer(self.config, name=f"layer_{i}")(
+                    x, mask, deterministic=deterministic
+                )
+        else:
+            x = hidden_states
+        if mode in ("fusion", "multi_modal"):
+            for i in range(c.fusion_layer, c.num_hidden_layers):
+                x = BertFusionLayer(self.config, name=f"layer_{i}")(
+                    x, mask, encoder_states, encoder_mask,
+                    deterministic=deterministic,
+                )
         return x
+
+
+class BertMLMHead(nn.Module):
+    """BertForMaskedLM prediction head (dense + GELU + LN + vocab decoder)."""
+
+    config: BertConfig = BertConfig()
+
+    @nn.compact
+    def __call__(self, hidden):
+        c = self.config
+        x = nn.Dense(c.hidden_size, name="transform")(hidden)
+        x = nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="ln")(x)
+        return nn.Dense(c.vocab_size, name="decoder")(x)
 
 
 class LangModule(nn.Module):

@@ -41,28 +41,26 @@ def _ball_query_chunk(centers, xyz, radius, nsample):
     """
     b, c, _ = centers.shape
     n = xyz.shape[1]
+    blk = 128
+    pad = (-n) % blk
     d2 = jnp.sum(
         (centers[:, :, None, :] - xyz[:, None, :, :]) ** 2, axis=-1
     )  # (B, C, N)
-    in_ball = d2 < radius * radius
-    cum = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1)
-    count = cum[..., -1]  # (B, C)
+    in_ball = (d2 < radius * radius).astype(jnp.int8)
+    if pad:
+        in_ball = jnp.pad(in_ball, ((0, 0), (0, 0), (0, pad)))
+    nb = in_ball.shape[-1] // blk
+    m_blocks = in_ball.reshape(b, c, nb, blk)
 
-    # Two-level count-based search for "first index with cum >= s+1"
-    # (s = 0..nsample-1). A vmapped searchsorted lowers to a 16-step
-    # binary-search while loop whose per-step gathers dominated SA1
-    # (~44ms per center chunk on chip); here it is two dense comparison
-    # reductions + one row gather, fully vectorized.
-    blk = 128
-    pad = (-n) % blk
-    cum_p = (
-        jnp.pad(cum, ((0, 0), (0, 0), (0, pad)), constant_values=n + 1)
-        if pad
-        else cum
-    )
-    nb = cum_p.shape[-1] // blk
-    blocks = cum_p.reshape(b, c, nb, blk)
-    block_end = blocks[..., -1]  # (B, C, NB) cumsum at block ends
+    # Two-level count-based search for "first index whose running in-ball
+    # count reaches s+1" (s = 0..nsample-1), with only BLOCK-level prefix
+    # sums — no full-length cumsum is materialized (the (B, C, N) int32
+    # cumsum was the next bandwidth whale after searchsorted, ~53ms/step)
+    # and no while loops (a vmapped searchsorted costs ~16 gather steps).
+    block_sums = jnp.sum(m_blocks.astype(jnp.int32), axis=-1)  # (B, C, NB)
+    block_end = jnp.cumsum(block_sums, axis=-1)
+    block_start = block_end - block_sums
+    count = block_end[..., -1]  # (B, C)
 
     targets = jnp.arange(1, nsample + 1, dtype=jnp.int32)  # (S,)
     # first block whose end-count reaches the target
@@ -73,11 +71,14 @@ def _ball_query_chunk(centers, xyz, radius, nsample):
         axis=2,
     )  # (B, C, S)
     bstar_c = jnp.minimum(bstar, nb - 1)
-    rows = jnp.take_along_axis(
-        blocks, bstar_c[..., None], axis=2
-    )  # (B, C, S, blk)
+    rows_mask = jnp.take_along_axis(
+        m_blocks, bstar_c[..., None], axis=2
+    ).astype(jnp.int32)  # (B, C, S, blk)
+    start_sel = jnp.take_along_axis(block_start, bstar_c, axis=2)  # (B,C,S)
+    local_cum = jnp.cumsum(rows_mask, axis=-1)  # inclusive, 128 lanes
+    t_local = targets[None, None, :] - start_sel
     within = jnp.sum(
-        (rows < targets[None, None, :, None]).astype(jnp.int32), axis=-1
+        (local_cum < t_local[..., None]).astype(jnp.int32), axis=-1
     )  # (B, C, S)
     idx = bstar_c * blk + within
 

@@ -53,7 +53,12 @@ class Solver:
         log_every: int = 50,
         mesh=None,
         seed: int = 42,
+        caption_eval_ctx: dict | None = None,
     ):
+        """caption_eval_ctx (optional): {"corpus", "organized", "tokenizer"}
+        — enables Scan2Cap metric evaluation during eval_epoch (the
+        reference's Solver._eval -> eval_cap path, solver_3dvlp.py:720-765).
+        """
         self.config = config
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
@@ -65,6 +70,7 @@ class Solver:
         self.use_bn_schedule = use_bn_schedule
         self.log_every = log_every
         self.mesh = mesh or make_mesh_for_batch(config.train.batch_size)
+        self.caption_eval_ctx = caption_eval_ctx
         self.rng = jax.random.key(seed)
         self.np_rng = np.random.default_rng(seed)
         self.timers = PhaseTimers()
@@ -267,12 +273,78 @@ class Solver:
             "lang_acc": float(np.mean(lang_accs)) if lang_accs else 0.0,
             **final_eval_breakdown(ious, multiple, others),
         }
+        if self.caption and self.caption_eval_ctx is not None:
+            result.update(self.caption_eval(epoch))
         if scalars:
             for k in scalars[0]:
                 result[k] = float(np.mean([s[k] for s in scalars]))
         self._log({"phase": "val", "epoch": epoch, **{
             k: v for k, v in result.items() if np.ndim(v) == 0}})
         return result
+
+    def caption_eval(self, epoch: int) -> dict:
+        """Greedy-decode captions per proposal, gate by NMS + IoU>=0.5
+        against assigned GT, score BLEU/CIDEr/ROUGE/METEOR
+        (eval_cap, lib/joint/eval_helper.py:278-357)."""
+        import jax.numpy as jnp
+
+        from vlp3d.eval.captioning import (
+            collect_caption_candidates,
+            score_captions,
+        )
+        from vlp3d.losses.detection import compute_objectness_loss
+        from vlp3d.models.caption import CaptionDecoder, greedy_decode
+
+        ctx = self.caption_eval_ctx
+        cfg = self.config
+        model, _, eval_step = self._get_steps(epoch)
+        decoder = CaptionDecoder(
+            vocab_size=cfg.model.vocab_size, max_len=cfg.model.max_des_len + 2
+        )
+        cap_vars = {"params": self.state.params["caption"]}
+
+        loader = BatchIterator(
+            self.val_dataset, cfg.train.batch_size, epoch=epoch,
+            rng=self.np_rng,
+        )
+        candidates: dict = {}
+        for batch in loader:
+            arrays = {
+                k: v for k, v in batch.items() if not isinstance(v, list)
+            }
+            sharded = shard_batch(self.mesh, arrays)
+            out, _ = eval_step(self.state, sharded)
+            feats = out["aggregated_vote_features"]
+            b, k, c = feats.shape
+            obj_token = (feats * 2.0).reshape(b * k, 1, c)
+            ys = greedy_decode(
+                decoder, cap_vars, obj_token, cfg.model.max_des_len
+            )
+            out_np = jax.device_get(
+                {
+                    key: out[key]
+                    for key in (
+                        "pred_center", "pred_size", "pred_heading",
+                        "objectness_scores", "sem_cls_scores",
+                        "aggregated_vote_xyz",
+                    )
+                }
+            )
+            out_np["lang_cap_ids"] = np.asarray(ys).reshape(b, k, -1)
+            _, _, _, assignment = compute_objectness_loss(
+                jnp.asarray(out_np["aggregated_vote_xyz"]),
+                jnp.asarray(out_np["objectness_scores"]),
+                jnp.asarray(arrays["center_label"][..., :3]),
+            )
+            collect_caption_candidates(
+                out_np,
+                {**arrays, "scene_id": batch["scene_id"]},
+                ctx["tokenizer"],
+                ctx["organized"],
+                object_assignment=np.asarray(assignment),
+                candidates=candidates,
+            )
+        return score_captions(ctx["corpus"], candidates)
 
     # ------------------------------------------------------------ loop
     def __call__(self, epochs: int, *, eval_every: int = 1) -> dict:
