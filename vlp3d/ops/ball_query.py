@@ -12,10 +12,11 @@ Semantics match the reference CUDA kernel
   * if no point falls inside the ball, all slots are 0 (the reference
     allocates the output with torch::zeros, ball_query.cpp:25).
 
-The fixed-shape selection is done with ``lax.top_k`` over a rank key that
-orders in-ball points by ascending scan index: key = 2N - k for in-ball
-points, 0 otherwise. top_k's lowest-index tie-breaking makes out-of-ball
-slots deterministic; positive top-k values mark real neighbours.
+The fixed-shape first-k selection is a two-level block-count search (see
+``_ball_query_chunk``): per-block in-ball counts locate each rank's block,
+then a local cumsum on the gathered target block finds the exact index —
+no sorts, no while loops, no full-length cumsum (each of which was a
+measured multi-hundred-ms bottleneck on chip at 40k points).
 
 Distance matrices are computed in center chunks to bound transient HBM
 footprint (chunk x N instead of M x N).
@@ -33,11 +34,10 @@ from jax import lax
 def _ball_query_chunk(centers, xyz, radius, nsample):
     """centers: (B, C, 3), xyz: (B, N, 3) -> idx (B, C, nsample) i32.
 
-    First-k selection via cumulative count + binary search: the running
-    in-ball count along the scan axis is nondecreasing, so the s-th
-    neighbour's index is searchsorted(cumsum, s+1). O(N + S log N) per
-    center — replaces a lax.top_k over all N keys, which lowers to a full
-    bitonic sort on TPU and dominated the SA1 runtime.
+    Two-level block-count first-k selection: the s-th neighbour is the
+    first index whose running in-ball count reaches s+1; block-level sums
+    locate the block, a local cumsum of the gathered block finds the
+    offset. O(N + S·blk) per center, fully vectorized.
     """
     b, c, _ = centers.shape
     n = xyz.shape[1]
