@@ -279,16 +279,25 @@ class ScanReferJointDataset:
                 point_cloud, target_bboxes, self.use_height, rng
             )
 
-        # votes AFTER augmentation (dataset.py:669-678)
-        point_votes = np.zeros((self.num_points, 3), np.float32)
-        point_votes_mask = np.zeros(self.num_points, np.float32)
-        for i_instance in np.unique(instance_labels):
-            ind = np.where(instance_labels == i_instance)[0]
-            if int(semantic_labels[ind[0]]) in NYU40_IDS:
-                x = point_cloud[ind, :3]
-                center = 0.5 * (x.min(0) + x.max(0))
-                point_votes[ind, :] = center - x
-                point_votes_mask[ind] = 1.0
+        # votes AFTER augmentation (dataset.py:669-678); single-pass native
+        # C kernel when a compiler is available, numpy loop otherwise
+        from vlp3d import native
+
+        sem_ok = np.isin(semantic_labels, list(NYU40_IDS))
+        if native.native_available():
+            point_votes, point_votes_mask = native.compute_votes(
+                point_cloud[:, :3], instance_labels, sem_ok
+            )
+        else:
+            point_votes = np.zeros((self.num_points, 3), np.float32)
+            point_votes_mask = np.zeros(self.num_points, np.float32)
+            for i_instance in np.unique(instance_labels):
+                ind = np.where(instance_labels == i_instance)[0]
+                if sem_ok[ind[0]]:
+                    x = point_cloud[ind, :3]
+                    center = 0.5 * (x.min(0) + x.max(0))
+                    point_votes[ind, :] = center - x
+                    point_votes_mask[ind] = 1.0
         point_votes = np.tile(point_votes, (1, GT_VOTE_FACTOR))
 
         angle_classes = np.zeros((MAX_NUM_OBJ,), np.int64)
