@@ -1,0 +1,172 @@
+"""Loss parity vs numpy transcriptions of the reference's loops.
+
+Oracles transcribe lib/loss_helper/loss_grounding.py:129-365 (OID) and
+loss_detection.py:24-113 semantics directly, including the quirks (raw
+argmax for one-hot labels vs masked argmax for smooth labels, epoch-50
+smoothing, batch-size-only diou normalization).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vlp3d.losses.detection import compute_objectness_loss, compute_vote_loss
+from vlp3d.losses.grounding import compute_diou_loss
+
+
+def np_softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def diou_pair(c1, s1, c2, s2):
+    min1, max1 = c1 - s1 / 2, c1 + s1 / 2
+    min2, max2 = c2 - s2 / 2, c2 + s2 / 2
+    inter = np.prod(np.clip(np.minimum(max1, max2) - np.maximum(min1, min2), 0, None), -1)
+    union = np.prod(s1, -1) + np.prod(s2, -1) - inter
+    iou = inter / union
+    diag = ((c1 - c2) ** 2).sum(-1)
+    outer = np.clip(np.maximum(max1, max2) - np.minimum(min1, min2), 0, None)
+    diou = np.clip(iou - 1.5 * diag / (outer ** 2).sum(-1), -1, 1)
+    return iou, diou
+
+
+def oracle_diou_loss(pred_center, pred_size, cluster_ref, obj_masks,
+                     gt_center, gt_size, lang_num, epoch, istrain, rand):
+    """Transcription of compute_diou_loss (loss_grounding.py:185-365)."""
+    b, k = pred_center.shape[:2]
+    l = gt_center.shape[1]
+    preds = cluster_ref.reshape(b, l, k)
+    loss = 0.0
+    diou_loss = 0.0
+    n25 = n5 = 0
+    for i in range(b):
+        labels = np.zeros((l, k))
+        smooth = np.zeros((l, k))
+        dious_rows = []
+        for j in range(l):
+            if j >= lang_num[i]:
+                dious_rows.append(np.zeros(k))
+                continue
+            ious, dious = diou_pair(
+                pred_center[i], pred_size[i],
+                np.tile(gt_center[i, j], (k, 1)),
+                np.tile(gt_size[i, j], (k, 1)),
+            )
+            dious_rows.append(dious)
+            ious_np = ious.copy()
+            if istrain and rand < 0.5:
+                ious = ious * obj_masks[i]
+            ious_ind = int(np.argmax(ious_np))  # RAW argmax (reference quirk)
+            max_ious = ious_np[ious_ind]
+            if max_ious >= 0.25:
+                labels[j, ious_ind] = 1
+                if epoch < 50:
+                    smooth_mask = ious >= 0.25
+                    cnt = smooth_mask.sum()
+                    if cnt >= 2:
+                        smooth[j, smooth_mask] = 0.05 / (cnt - 1)
+                        smooth[j, int(np.argmax(ious))] = 0.95
+                    else:
+                        smooth[j, int(np.argmax(ious))] = 1
+                else:
+                    smooth[j, int(np.argmax(ious))] = 1
+                n25 += 1
+            if max_ious >= 0.5:
+                n5 += 1
+        valid = int(lang_num[i])
+        probs = np_softmax(preds[i, :valid] + 1e-8)
+        loss += (-(np.log(probs + 1e-8) * smooth[:valid]).sum(-1)).mean()
+        dious_arr = np.stack(dious_rows)
+        diou_loss += ((1 - dious_arr[:valid]) * smooth[:valid]).sum()
+    total = lang_num.sum()
+    return (loss / b, diou_loss / b, labels, n25 / total, n5 / total)
+
+
+def test_diou_loss_parity(rng):
+    b, k, l = 2, 12, 4
+    pred_center = rng.uniform(0, 4, (b, k, 3)).astype(np.float32)
+    pred_size = rng.uniform(0.4, 1.2, (b, k, 3)).astype(np.float32)
+    # put some GT boxes right on top of predictions so iou >= 0.25 happens
+    gt_center = pred_center[:, :l].copy() + rng.normal(0, 0.05, (b, l, 3)).astype(np.float32)
+    gt_size = pred_size[:, :l].copy()
+    cluster_ref = rng.normal(size=(b * l, k)).astype(np.float32)
+    obj_masks = rng.integers(0, 2, (b, k)).astype(np.float32)
+    lang_num = np.array([3, 4], np.int32)
+
+    for epoch, istrain, rand in [(10, 1, 0.3), (10, 0, 0.7), (60, 1, 0.3)]:
+        out = compute_diou_loss(
+            pred_center=jnp.asarray(pred_center),
+            pred_size=jnp.asarray(pred_size),
+            cluster_ref=jnp.asarray(cluster_ref),
+            objectness_masks=jnp.asarray(obj_masks),
+            gt_center=jnp.asarray(gt_center),
+            gt_size=jnp.asarray(gt_size),
+            lang_num=jnp.asarray(lang_num),
+            epoch=jnp.int32(epoch),
+            istrain=jnp.int32(istrain),
+            random_gate=jnp.float32(rand),
+        )
+        ref, dref, _, r25, r5 = oracle_diou_loss(
+            pred_center, pred_size, cluster_ref, obj_masks,
+            gt_center, gt_size, lang_num, epoch, istrain, rand,
+        )
+        np.testing.assert_allclose(float(out["ref_loss"]), ref, rtol=1e-4,
+                                   err_msg=f"epoch={epoch}")
+        np.testing.assert_allclose(float(out["diou_loss"]), dref, rtol=1e-4)
+        np.testing.assert_allclose(float(out["max_iou_rate_0.25"]), r25, rtol=1e-5)
+        np.testing.assert_allclose(float(out["max_iou_rate_0.5"]), r5, rtol=1e-5)
+
+
+def test_objectness_loss_parity(rng):
+    b, k, k2 = 2, 16, 8
+    agg = rng.uniform(0, 4, (b, k, 3)).astype(np.float32)
+    scores = rng.normal(size=(b, k, 2)).astype(np.float32)
+    centers = rng.uniform(0, 4, (b, k2, 3)).astype(np.float32)
+
+    loss, label, mask, assign = compute_objectness_loss(
+        jnp.asarray(agg), jnp.asarray(scores), jnp.asarray(centers)
+    )
+    # oracle (loss_detection.py:73-113)
+    d = ((agg[:, :, None] - centers[:, None]) ** 2).sum(-1)
+    dist1 = d.min(-1)
+    ind1 = d.argmin(-1)
+    euclid = np.sqrt(dist1 + 1e-6)
+    label_w = (euclid < 0.3).astype(int)
+    mask_w = ((euclid < 0.3) | (euclid > 0.3)).astype(float)
+    w = np.array([0.2, 0.8])[label_w]
+    logp = np.log(np_softmax(scores))
+    ce = -w * np.take_along_axis(logp, label_w[..., None], -1)[..., 0]
+    loss_w = (ce * mask_w).sum() / (mask_w.sum() + 1e-6)
+    np.testing.assert_array_equal(np.asarray(label), label_w)
+    np.testing.assert_array_equal(np.asarray(assign), ind1)
+    np.testing.assert_allclose(float(loss), loss_w, rtol=1e-5)
+
+
+def test_vote_loss_parity(rng):
+    b, s, n = 2, 32, 128
+    seed_xyz = rng.uniform(0, 4, (b, s, 3)).astype(np.float32)
+    vote_xyz = seed_xyz + rng.normal(0, 0.2, (b, s, 3)).astype(np.float32)
+    seed_inds = rng.integers(0, n, (b, s)).astype(np.int32)
+    vote_label = rng.normal(0, 0.3, (b, n, 9)).astype(np.float32)
+    vote_mask = rng.integers(0, 2, (b, n)).astype(np.int64)
+
+    got = float(
+        compute_vote_loss(
+            jnp.asarray(seed_xyz), jnp.asarray(vote_xyz),
+            jnp.asarray(seed_inds), jnp.asarray(vote_label),
+            jnp.asarray(vote_mask),
+        )
+    )
+    # oracle (loss_detection.py:24-71), vote_factor=1
+    total = 0.0
+    msum = 0.0
+    for i in range(b):
+        for j in range(s):
+            if vote_mask[i, seed_inds[i, j]] == 0:
+                continue
+            gts = vote_label[i, seed_inds[i, j]].reshape(3, 3) + seed_xyz[i, j]
+            dists = [np.abs(vote_xyz[i, j] - g).sum() for g in gts]
+            total += min(dists)
+            msum += 1
+    want = total / (msum + 1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-4)

@@ -49,6 +49,15 @@ class SAModule(nn.Module):
     """Set abstraction with vote support (PointnetSAModuleVotes,
     pointnet2_modules.py:164-272): FPS -> ball query -> recentred
     (radius-normalized) grouping -> shared MLP -> max pool.
+
+    TPU optimization (exact math): the first Dense of the shared MLP is a
+    linear map, so its feature half is applied to the N points BEFORE the
+    neighbourhood gather (linear-then-gather == gather-then-linear) and
+    only the mlp[0]-wide pre-activations are gathered — roughly halving the
+    dominant gather traffic at SA1/SA2. The xyz half (recentred, optionally
+    radius-normalized coordinates) is added after grouping; BatchNorm still
+    normalizes the gathered pre-activations, exactly as the reference's
+    BN(conv(grouped)).
     """
 
     npoint: int
@@ -58,6 +67,7 @@ class SAModule(nn.Module):
     use_xyz: bool = True
     normalize_xyz: bool = True
     bn_momentum: float = 0.9
+    fuse_first_layer: bool = True
 
     @nn.compact
     def __call__(
@@ -76,19 +86,49 @@ class SAModule(nn.Module):
         if inds is None:
             inds = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, inds)
-        grouped, _ = query_and_group(
-            self.radius,
-            self.nsample,
-            xyz,
-            new_xyz,
-            features,
-            use_xyz=self.use_xyz,
-            normalize_xyz=self.normalize_xyz,
-        )  # (B, npoint, nsample, 3 + C)
-        out = PointMLP(self.mlp, bn_momentum=self.bn_momentum)(
-            grouped, train=train
-        )
-        out = jnp.max(out, axis=2)  # max over the nsample neighbourhood
+
+        if not (self.fuse_first_layer and self.use_xyz and features is not None):
+            grouped, _ = query_and_group(
+                self.radius,
+                self.nsample,
+                xyz,
+                new_xyz,
+                features,
+                use_xyz=self.use_xyz,
+                normalize_xyz=self.normalize_xyz,
+            )  # (B, npoint, nsample, 3 + C)
+            out = PointMLP(self.mlp, bn_momentum=self.bn_momentum)(
+                grouped, train=train
+            )
+            out = jnp.max(out, axis=2)
+            return new_xyz, out, inds
+
+        from vlp3d.ops import ball_query, group_points
+
+        c0 = self.mlp[0]
+        # first layer split: W = [W_xyz; W_feat] (the reference's first
+        # SharedMLP conv over the concat [xyz_rel, features])
+        w_xyz = nn.Dense(c0, use_bias=False, name="first_xyz")
+        pre = nn.Dense(c0, use_bias=False, name="first_feat")(features)
+
+        idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+        grouped_pre = group_points(pre, idx)  # (B, M, K, c0)
+        grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+        if self.normalize_xyz:
+            grouped_xyz = grouped_xyz / self.radius
+        x = grouped_pre + w_xyz(grouped_xyz)
+
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+        )(x)
+        x = nn.relu(x)
+        if len(self.mlp) > 1:
+            x = PointMLP(self.mlp[1:], bn_momentum=self.bn_momentum)(
+                x, train=train
+            )
+        out = jnp.max(x, axis=2)
         return new_xyz, out, inds
 
 
