@@ -1,0 +1,62 @@
+"""Feature-flag matrix: each reference toggle composes and trains."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlp3d.data.synthetic import make_batch, tiny_config
+from vlp3d.losses.joint import compute_joint_loss
+from vlp3d.models.jointnet import JointNet
+
+
+def run(config, *, reference=True, caption=False, epoch=60):
+    batch = make_batch(config, batch_size=2, num_points=256, epoch=epoch)
+    model = JointNet(config)
+    rngs = {
+        "params": jax.random.key(0),
+        "dropout": jax.random.key(1),
+        "aug": jax.random.key(2),
+    }
+    variables = model.init(rngs, batch, train=True)
+    out, _ = model.apply(
+        variables, batch, train=True, rngs=rngs, mutable=["batch_stats"]
+    )
+    loss, metrics = compute_joint_loss(
+        config, out, batch, reference=reference, caption=caption
+    )
+    assert np.isfinite(float(loss))
+    return out, metrics
+
+
+def test_no_reference_detection_only():
+    out, m = run(tiny_config(no_reference=True, use_con=False),
+                 reference=False)
+    assert "cluster_ref" not in out
+    assert float(m["box_loss"]) >= 0
+
+
+def test_use_reg_head():
+    out, m = run(tiny_config(use_reg_head=True, use_con=False))
+    assert out["pred_center_reg"].shape[-1] == 3
+    assert float(jnp.abs(out["pred_center_reg"]).max()) <= 0.05 + 1e-5
+
+
+def test_use_kl_loss_and_vote_weight():
+    out, m = run(
+        tiny_config(use_kl_loss=True, use_vote_weight=True, use_con=False)
+    )
+    assert out["alpha"].shape[-1] == 6
+    assert out["vote_weights"].shape[-1] == 1
+    assert "vote_weight_loss" in m
+
+
+def test_mask_box_changes_boxes():
+    config = tiny_config(mask_box=True, use_con=False)
+    out, _ = run(config)
+    assert np.isfinite(np.asarray(out["pred_center"])).all()
+
+
+def test_use_lang_emb_second_scorer():
+    out, _ = run(tiny_config(use_lang_emb=True, use_con=False))
+    assert out["cluster_ref"].shape == (2 * 4, 16)

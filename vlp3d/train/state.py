@@ -34,7 +34,11 @@ def create_state(
         "dropout": jax.random.key(seed + 1),
         "aug": jax.random.key(seed + 2),
     }
-    variables = model.init(rngs, sample_batch, train=True)
+    # jit the init: eager init dispatches thousands of tiny ops (very slow
+    # over the axon tunnel); one compiled program instead
+    variables = jax.jit(
+        lambda b: model.init(rngs, b, train=True)
+    )(sample_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
