@@ -155,6 +155,7 @@ class ScanReferJointDataset:
         nyu40id2class: dict | None = None,
         bert_max_len: int = 50,
         seed: int = 42,
+        minor_aug: bool = False,
     ):
         self.scanrefer = scanrefer
         self.scene_source = scene_source
@@ -169,6 +170,10 @@ class ScanReferJointDataset:
         self.bert_max_len = bert_max_len
         self.rng = np.random.default_rng(seed)
         self.prompt = Prompt()
+        # rare-class duplication (dataset.py:446, 483-485, 561-565):
+        # a sentence about a minor-class object is repeated in the next slot
+        self.minor_aug = minor_aug
+        self.minor_label = ("counter", "curtain", "shower curtain", "bathtub")
         self.mean_size_arr = (
             mean_size_arr
             if mean_size_arr is not None
@@ -236,16 +241,24 @@ class ScanReferJointDataset:
         scene_id = chunk[0]["scene_id"]
         scene = self.scene_source(scene_id, self.split)
 
-        # sentence slots (pad by repeating the last annotation)
+        # sentence slots (pad by repeating the last annotation); with
+        # minor_aug, a minor-class sentence occupies the following slot too
         object_id_list, object_name_list, ann_id_list, text_list = [], [], [], []
+        add_last_minor = False
+        cursor = 0
         for i in range(self.lang_num_max - self.lang_num_aug):
-            data = chunk[min(i, lang_num - 1)]
+            if istrain and self.minor_aug and add_last_minor:
+                add_last_minor = False  # repeat previous entry (slot reuse)
+            else:
+                data = chunk[min(cursor, lang_num - 1)]
+                cursor += 1
             object_id_list.append(int(data["object_id"]))
-            object_name_list.append(
-                " ".join(data["object_name"].split("_"))
-            )
+            name = " ".join(data["object_name"].split("_"))
+            object_name_list.append(name)
             ann_id_list.append(int(data["ann_id"]))
             text_list.append(" ".join(data["token"]))
+            if istrain and self.minor_aug and name in self.minor_label:
+                add_last_minor = True
 
         point_cloud = np.array(scene["point_cloud"], np.float32)
         instance_labels = np.array(scene["instance_labels"])
