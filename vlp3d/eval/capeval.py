@@ -67,10 +67,7 @@ class Bleu:
                 totals[n - 1] += t
                 sample_c.append(c)
                 sample_t.append(t)
-            # per-sample smoothed score (pycocoevalcap reports these too)
-            bp = 1.0
-            if len(hyp) < min(len(r) for r in refs):
-                pass
+            # per-sample smoothed scores (pycocoevalcap reports these too)
             prod = 1.0
             for n in range(self.n):
                 prod *= (sample_c[n] + tiny) / (sample_t[n] + small)

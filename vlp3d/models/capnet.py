@@ -21,7 +21,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vlp3d.eval.box_iou import box3d_iou  # numpy; device path below
 from vlp3d.geometry.boxes import box3d_iou_corners
 from vlp3d.models.attention import MultiHeadAttention
 

@@ -24,7 +24,6 @@ footprint (chunk x N instead of M x N).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
