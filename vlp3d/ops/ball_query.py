@@ -152,18 +152,16 @@ def query_and_group(
       (grouped, grouped_xyz): grouped is (B, M, nsample, 3 + C) if use_xyz
       else (B, M, nsample, C); grouped_xyz is (B, M, nsample, 3).
     """
+    from vlp3d.ops.grouping import group_points
+
     idx = ball_query(radius, nsample, xyz, new_xyz, chunk=chunk)
-    grouped_xyz = jnp.take_along_axis(
-        xyz[:, :, None, :], idx[:, :, :, None], axis=1
-    )  # (B, M, nsample, 3)
+    grouped_xyz = group_points(xyz, idx)  # (B, M, nsample, 3)
     grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
     if normalize_xyz:
         grouped_xyz = grouped_xyz / radius
 
     if features is not None:
-        grouped_feats = jnp.take_along_axis(
-            features[:, :, None, :], idx[:, :, :, None], axis=1
-        )  # (B, M, nsample, C)
+        grouped_feats = group_points(features, idx)  # (B, M, nsample, C)
         if use_xyz:
             grouped = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
         else:

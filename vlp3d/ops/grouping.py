@@ -18,19 +18,84 @@ import jax
 import jax.numpy as jnp
 
 
+def _sorted_scatter_add(g_flat: jax.Array, idx_flat: jax.Array, n: int):
+    """Transpose of a row gather: sum cotangent rows into their source rows.
+
+    XLA's default gather-transpose is a scatter-add with colliding indices,
+    which serializes catastrophically on TPU (the un-customized SA backward
+    measured ~70 s/step at production shapes). Sorting the indices first
+    makes duplicates consecutive so the scatter uses the sorted fast path:
+    sort keys (cheap), permute rows (a gather), segment-sum.
+    """
+    order = jnp.argsort(idx_flat)
+    idx_s = idx_flat[order]
+    g_s = jnp.take(g_flat, order, axis=0)
+    return jax.ops.segment_sum(
+        g_s, idx_s, num_segments=n, indices_are_sorted=True
+    )
+
+
 def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """out[b, m, c] = points[b, idx[b, m], c].
 
-    points: (B, N, C); idx: (B, M) int -> (B, M, C).
+    points: (B, N, C); idx: (B, M) int -> (B, M, C). Backward is the
+    sorted scatter-add (the reference's atomicAdd kernel,
+    sampling_gpu.cu:39-52, done the TPU way).
     """
+    return _gather_points_vjp(points, idx)
+
+
+@jax.custom_vjp
+def _gather_points_vjp(points, idx):
     return jnp.take_along_axis(points, idx[:, :, None], axis=1)
+
+
+def _gather_points_fwd(points, idx):
+    return _gather_points_vjp(points, idx), (points.shape, idx)
+
+
+def _gather_points_bwd(res, g):
+    points_shape, idx = res
+    b, n, c = points_shape
+    dpoints = jax.vmap(
+        lambda gb, ib: _sorted_scatter_add(gb, ib, n)
+    )(g, idx)
+    return dpoints, None
+
+
+_gather_points_vjp.defvjp(_gather_points_fwd, _gather_points_bwd)
 
 
 def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """out[b, m, k, c] = points[b, idx[b, m, k], c].
 
-    points: (B, N, C); idx: (B, M, K) int -> (B, M, K, C).
+    points: (B, N, C); idx: (B, M, K) int -> (B, M, K, C). Backward is the
+    sorted scatter-add (group_points_gpu.cu's atomicAdd, the TPU way).
     """
+    return _group_points_vjp(points, idx)
+
+
+@jax.custom_vjp
+def _group_points_vjp(points, idx):
     return jnp.take_along_axis(
         points[:, :, None, :], idx[:, :, :, None], axis=1
     )
+
+
+def _group_points_fwd(points, idx):
+    return _group_points_vjp(points, idx), (points.shape, idx)
+
+
+def _group_points_bwd(res, g):
+    points_shape, idx = res
+    b, n, c = points_shape
+    _, m, k, _ = g.shape
+    g_flat = g.reshape(b, m * k, c)
+    idx_flat = idx.reshape(b, m * k)
+    dpoints = jax.vmap(
+        lambda gb, ib: _sorted_scatter_add(gb, ib, n)
+    )(g_flat, idx_flat)
+    return dpoints, None
+
+
+_group_points_vjp.defvjp(_group_points_fwd, _group_points_bwd)
