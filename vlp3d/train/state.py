@@ -23,6 +23,26 @@ class TrainState:
     opt_state: Any
 
 
+def canonicalize_tree(tree):
+    """Strip weak_type flags from every array leaf.
+
+    Weak-typed leaves appearing in the train-state after the first updates
+    change the jit cache key and force 2 extra full recompiles (tens of
+    minutes each on the remote TPU compiler) before the key stabilizes.
+    convert_element_type to the same dtype clears weak_type; extended
+    dtypes (PRNG keys) are left untouched.
+    """
+
+    def fix(x):
+        if isinstance(x, jax.Array) and not jnp.issubdtype(
+            x.dtype, jax.dtypes.extended
+        ):
+            return jax.lax.convert_element_type(x, x.dtype)
+        return x
+
+    return jax.tree_util.tree_map(fix, tree)
+
+
 def create_state(
     model: JointNet,
     optimizer: optax.GradientTransformation,
@@ -41,11 +61,13 @@ def create_state(
     )(sample_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=batch_stats,
-        opt_state=optimizer.init(params),
+    return canonicalize_tree(
+        TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=optimizer.init(params),
+        )
     )
 
 
@@ -92,11 +114,13 @@ def make_train_step(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        state = TrainState(
-            step=state.step + 1,
-            params=params,
-            batch_stats=new_stats,
-            opt_state=opt_state,
+        state = canonicalize_tree(
+            TrainState(
+                step=state.step + 1,
+                params=params,
+                batch_stats=new_stats,
+                opt_state=opt_state,
+            )
         )
         return state, metrics
 
