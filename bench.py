@@ -94,4 +94,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the axon relay occasionally throws a transient FailedPrecondition;
+    # retry so the driver's official run survives a hiccup
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(20)
