@@ -201,7 +201,7 @@ def export_one_scan(scannet_dir, scan_name, label_map, output_prefix,
         label_map,
     )
     mask = np.logical_not(
-        np.in1d(data["semantic_labels"], DONOTCARE_CLASS_IDS)
+        np.isin(data["semantic_labels"], DONOTCARE_CLASS_IDS)
     )
     mesh_vertices = data["mesh_vertices"][mask]
     aligned_vertices = data["aligned_vertices"][mask]
@@ -211,7 +211,7 @@ def export_one_scan(scannet_dir, scan_name, label_map, output_prefix,
     bboxes = data["instance_bboxes"]
     aligned_bboxes = data["aligned_instance_bboxes"]
     if bboxes.shape[0] > 1:
-        keep = np.in1d(bboxes[:, -2], OBJ_CLASS_IDS)
+        keep = np.isin(bboxes[:, -2], OBJ_CLASS_IDS)
         bboxes = bboxes[keep]
         aligned_bboxes = aligned_bboxes[keep]
 
