@@ -49,6 +49,11 @@ def test_use_kl_loss_and_vote_weight():
     assert out["alpha"].shape[-1] == 6
     assert out["vote_weights"].shape[-1] == 1
     assert "vote_weight_loss" in m
+    # the KL term must exist, be finite and non-zero (alpha != 0 at init
+    # implies the 0.5*sum(alpha) terms are non-zero almost surely)
+    assert "kl_loss" in m
+    kl = float(m["kl_loss"])
+    assert np.isfinite(kl) and kl != 0.0
 
 
 def test_mask_box_changes_boxes():

@@ -117,6 +117,85 @@ def test_diou_loss_parity(rng):
         np.testing.assert_allclose(float(out["max_iou_rate_0.5"]), r5, rtol=1e-5)
 
 
+def oracle_kl_loss(pred_center, gt_center, alpha, lang_num):
+    """Transcription of the use_kl_loss branch (loss_grounding.py:151-153,
+    282-286, 309-321): per batch, SmoothL1Loss() (mean-reduced scalar) of
+    the raw-argmax proposal centers vs GT, times sum(exp(-alpha_center)),
+    plus 0.5*sum(alpha_center) + 0.5*sum(alpha_size); the size SmoothL1 is
+    pred-vs-pred == 0 in the reference. alpha_size = alpha[:, :, 4:6]."""
+    b = pred_center.shape[0]
+    kl = 0.0
+    for i in range(b):
+        a_c = alpha[i, :, 0:3]
+        a_s = alpha[i, :, 4:6]
+        diffs = []
+        for j in range(int(lang_num[i])):
+            ious, _ = diou_pair(
+                pred_center[i],
+                np.ones_like(pred_center[i]),
+                np.tile(gt_center[i, j], (pred_center.shape[1], 1)),
+                np.ones((pred_center.shape[1], 3)),
+            )
+            ind = int(np.argmax(ious))
+            diffs.append(pred_center[i, ind] - gt_center[i, j])
+        d = np.abs(np.stack(diffs))
+        sl1 = np.where(d < 1.0, 0.5 * d * d, d - 0.5).mean()
+        kl += (np.exp(-a_c) * sl1 + 0.5 * a_c).sum() + (0.5 * a_s).sum()
+    return kl / b
+
+
+def test_kl_loss_parity(rng):
+    b, k, l = 2, 12, 4
+    pred_center = rng.uniform(0, 4, (b, k, 3)).astype(np.float32)
+    pred_size = np.ones((b, k, 3), np.float32)
+    gt_center = pred_center[:, :l].copy() + rng.normal(
+        0, 0.05, (b, l, 3)
+    ).astype(np.float32)
+    gt_size = np.ones((b, l, 3), np.float32)
+    cluster_ref = rng.normal(size=(b * l, k)).astype(np.float32)
+    alpha = rng.uniform(-0.05, 0.05, (b, k, 6)).astype(np.float32)
+    lang_num = np.array([3, 4], np.int32)
+
+    out = compute_diou_loss(
+        pred_center=jnp.asarray(pred_center),
+        pred_size=jnp.asarray(pred_size),
+        cluster_ref=jnp.asarray(cluster_ref),
+        objectness_masks=jnp.ones((b, k), jnp.float32),
+        gt_center=jnp.asarray(gt_center),
+        gt_size=jnp.asarray(gt_size),
+        lang_num=jnp.asarray(lang_num),
+        epoch=jnp.int32(10),
+        istrain=jnp.int32(1),
+        random_gate=jnp.float32(0.9),
+        alpha=jnp.asarray(alpha),
+    )
+    ref = oracle_kl_loss(pred_center, gt_center, alpha, lang_num)
+    np.testing.assert_allclose(float(out["kl_loss"]), ref, rtol=1e-4)
+
+    # the gradient must reach alpha (preds/GT are detached in the reference)
+    import jax
+
+    def kl_of(a):
+        return compute_diou_loss(
+            pred_center=jnp.asarray(pred_center),
+            pred_size=jnp.asarray(pred_size),
+            cluster_ref=jnp.asarray(cluster_ref),
+            objectness_masks=jnp.ones((b, k), jnp.float32),
+            gt_center=jnp.asarray(gt_center),
+            gt_size=jnp.asarray(gt_size),
+            lang_num=jnp.asarray(lang_num),
+            epoch=jnp.int32(10),
+            istrain=jnp.int32(1),
+            random_gate=jnp.float32(0.9),
+            alpha=a,
+        )["kl_loss"]
+
+    g = jax.grad(kl_of)(jnp.asarray(alpha))
+    assert float(jnp.abs(g[:, :, 0:3]).max()) > 0  # center channels live
+    assert float(jnp.abs(g[:, :, 4:6]).max()) > 0  # size channels live
+    np.testing.assert_allclose(np.asarray(g[:, :, 3]), 0.0)  # unused channel
+
+
 def test_objectness_loss_parity(rng):
     b, k, k2 = 2, 16, 8
     agg = rng.uniform(0, 4, (b, k, 3)).astype(np.float32)

@@ -49,11 +49,25 @@ def compute_diou_loss(
     random_gate: jax.Array,  # scalar in [0,1) — shared with match copy-paste
     pred_center_reg: jax.Array | None = None,  # (B, L, K, 3)
     pred_size_reg: jax.Array | None = None,  # (B, L, K, 3)
+    alpha: jax.Array | None = None,  # (B, K, 6) heteroscedastic log-vars
 ):
     """OID loss (loss_grounding.py:129-365).
 
     Returns dict with ref_loss, diou_loss, cluster_labels (raw one-hot),
-    smooth_labels, ious (B, L, K), max_iou_rate_0.25/0.5.
+    smooth_labels, ious (B, L, K), max_iou_rate_0.25/0.5, and (when alpha
+    is given) the heteroscedastic kl_loss of loss_grounding.py:309-321.
+
+    KL quirks reproduced from the reference:
+      * alpha channel 3 is unused: center = alpha[..., 0:3], size =
+        alpha[..., 4:6] (loss_grounding.py:151-153);
+      * nn.SmoothL1Loss() mean-reduces to a per-batch SCALAR, which then
+        multiplies the full (K, 3) exp(-alpha_center) map (:316-318);
+      * the size branch calls SmoothL1(kl_pred_size, kl_pred_size) — pred
+        vs pred, identically zero — so it contributes 0.5*sum(alpha_size)
+        exactly (:319-320);
+      * preds and GT are detached — the gradient reaches only alpha;
+      * the per-sentence target proposal is the RAW (unmasked) iou argmax
+        (kl_ind appends ious_ind, :282-286).
     """
     b, k = pred_center.shape[:2]
     l = gt_center.shape[1]
@@ -106,7 +120,7 @@ def compute_diou_loss(
     )
 
     total_lang = jnp.maximum(jnp.sum(lang_num), 1)
-    return {
+    out = {
         "ref_loss": ref_loss,
         "diou_loss": diou_loss,
         "cluster_labels": labels,
@@ -118,6 +132,26 @@ def compute_diou_loss(
         )
         / total_lang,
     }
+
+    if alpha is not None:
+        alpha_center = alpha[:, :, 0:3]  # (B, K, 3)
+        alpha_size = alpha[:, :, 4:6]  # (B, K, 2); channel 3 unused
+        kl_pred_center = jax.lax.stop_gradient(
+            jnp.take_along_axis(pred_center, raw_ind[..., None], axis=1)
+        )  # (B, L, 3)
+        d = jnp.abs(kl_pred_center - jax.lax.stop_gradient(gt_center))
+        sl1 = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)  # beta=1.0
+        # nn.SmoothL1Loss() mean over the stacked (lang_num[i], 3) tensor
+        sl1_mean = jnp.sum(
+            sl1 * lang_mask[..., None], axis=(1, 2)
+        ) / jnp.maximum(3.0 * lang_num.astype(jnp.float32), 1.0)  # (B,)
+        center_term = sl1_mean * jnp.sum(
+            jnp.exp(-alpha_center), axis=(1, 2)
+        ) + 0.5 * jnp.sum(alpha_center, axis=(1, 2))
+        size_term = 0.5 * jnp.sum(alpha_size, axis=(1, 2))
+        out["kl_loss"] = jnp.sum(center_term + size_term) / b
+
+    return out
 
 
 def compute_lang_classification_loss(

@@ -127,6 +127,7 @@ def compute_joint_loss(
             random_gate=batch["random"],
             pred_center_reg=outputs.get("pred_center_reg"),
             pred_size_reg=outputs.get("pred_size_reg"),
+            alpha=outputs.get("alpha") if cfg_m.use_kl_loss else None,
         )
         m["ref_loss"] = diou["ref_loss"]
         m["diou_loss"] = diou["diou_loss"]
@@ -141,6 +142,9 @@ def compute_joint_loss(
         loss = loss + ref_w * diou["ref_loss"]
         if cfg_l.use_diou_loss:
             loss = loss + cfg_l.diou_weight * diou["diou_loss"]
+        if cfg_m.use_kl_loss and "kl_loss" in diou:
+            m["kl_loss"] = diou["kl_loss"]
+            loss = loss + cfg_l.kl_weight * diou["kl_loss"]
 
         if cfg_m.use_lang_classifier:
             lang_loss = compute_lang_classification_loss(
