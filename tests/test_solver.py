@@ -46,3 +46,92 @@ def test_solver_one_epoch(tmp_path):
     state, meta = load_checkpoint(str(tmp_path), solver.state)
     assert int(state.step) == int(solver.state.step)
     assert meta["epoch"] == 1
+
+    # KeyboardInterrupt -> checkpoint-and-exit (solver_3dvlp.py:356-359)
+    import json
+
+    def boom(epoch):
+        raise KeyboardInterrupt
+
+    solver.train_epoch = boom
+    best2 = solver(5, eval_every=1)  # must not propagate the interrupt
+    assert best2 is solver.best
+    with open(os.path.join(str(tmp_path), "checkpoint_meta.json")) as f:
+        assert json.load(f)["epoch"] == 0  # saved at the interrupted epoch
+
+
+def test_warm_start_staged_pipeline(tmp_path):
+    """Stage 1 grounding pretrain -> snapshot -> stage 2 caption run
+    warm-started with strict=False semantics (the reference's --pretrain
+    recipe, train_3dvlp.py:115-121 + train_caption.py:110-115)."""
+    import jax
+
+    ground_cfg = tiny_config(no_caption=True, use_con=False)
+    ground_cfg = ground_cfg.__class__(
+        dataset=ground_cfg.dataset,
+        model=ground_cfg.model,
+        loss=ground_cfg.loss,
+        train=ground_cfg.train.__class__(batch_size=2, epochs=1),
+    )
+    train_ds = make_synthetic_dataset(ground_cfg, n_scenes=2, anns_per_scene=5)
+    val_ds = make_synthetic_dataset(
+        ground_cfg, n_scenes=1, anns_per_scene=3, split="val", seed=7
+    )
+    stage1 = Solver(
+        ground_cfg, train_ds, val_ds, str(tmp_path / "s1"),
+        caption=False, log_every=1,
+    )
+    sample = next(iter(BatchIterator(train_ds, 2, epoch=0)))
+    sample = {k: v for k, v in sample.items() if not isinstance(v, list)}
+    stage1.init_state(sample)
+    stage1(1, eval_every=1)
+    snap_path = os.path.join(str(tmp_path / "s1"), "model_last")
+    assert os.path.exists(snap_path)
+
+    # stage 2: caption-enabled model (superset of stage-1 modules)
+    cap_cfg = tiny_config(no_caption=False, use_con=False)
+    cap_cfg = cap_cfg.__class__(
+        dataset=cap_cfg.dataset,
+        model=cap_cfg.model,
+        loss=cap_cfg.loss,
+        train=cap_cfg.train.__class__(batch_size=2, epochs=1),
+    )
+    cap_train = make_synthetic_dataset(cap_cfg, n_scenes=2, anns_per_scene=5)
+    stage2 = Solver(
+        cap_cfg, cap_train, val_ds, str(tmp_path / "s2"),
+        caption=True, log_every=1,
+    )
+    sample2 = next(iter(BatchIterator(cap_train, 2, epoch=0)))
+    sample2 = {k: v for k, v in sample2.items() if not isinstance(v, list)}
+    stage2.init_state(sample2)
+    fresh_caption = jax.tree_util.tree_leaves(stage2.state.params["caption"])
+
+    n_restored, n_skipped = stage2.warm_start(snap_path)
+    assert n_restored > 0
+    # the caption module wasn't in stage 1 -> its leaves stay fresh
+    assert n_skipped >= len(fresh_caption)
+
+    # every restored leaf matches the stage-1 snapshot exactly
+    flat1 = jax.tree_util.tree_flatten_with_path(stage1.state.params)[0]
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(stage2.state.params)[0])
+    checked = 0
+    for path, leaf in flat1:
+        other = flat2.get(path)
+        if other is not None and other.shape == leaf.shape:
+            np.testing.assert_allclose(
+                np.asarray(other), np.asarray(leaf), rtol=0, atol=0
+            )
+            checked += 1
+    assert checked > 0
+    # BN running stats warm-start too (state_dict parity)
+    s1_stats = jax.tree_util.tree_flatten_with_path(stage1.state.batch_stats)[0]
+    s2_stats = dict(
+        jax.tree_util.tree_flatten_with_path(stage2.state.batch_stats)[0]
+    )
+    stat_checked = 0
+    for path, leaf in s1_stats:
+        other = s2_stats.get(path)
+        if other is not None and other.shape == leaf.shape:
+            np.testing.assert_allclose(np.asarray(other), np.asarray(leaf))
+            stat_checked += 1
+    assert stat_checked > 0

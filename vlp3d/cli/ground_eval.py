@@ -48,10 +48,10 @@ def main(argv=None):
     sample = {k: v for k, v in sample.items() if not isinstance(v, list)}
     state = create_state(model, make_optimizer(), sample, config.train.seed)
     if args.model_dir:
+        snap = ckpt.load_params(args.model_dir, args.model_name)
         state = state.replace(
-            params=ckpt.load_params(
-                args.model_dir, args.model_name, state.params
-            )
+            params=snap["params"],
+            batch_stats=snap.get("batch_stats", state.batch_stats),
         )
 
     @jax.jit

@@ -42,8 +42,10 @@ def main(argv=None):
     optimizer = make_optimizer()
     state = create_state(model, optimizer, sample, config.train.seed)
     if args.model_dir:
+        snap = ckpt.load_params(args.model_dir, "model")
         state = state.replace(
-            params=ckpt.load_params(args.model_dir, "model", state.params)
+            params=snap["params"],
+            batch_stats=snap.get("batch_stats", state.batch_stats),
         )
 
     @jax.jit

@@ -55,6 +55,16 @@ def main(argv=None):
     sample = {k: v for k, v in sample.items() if not isinstance(v, list)}
     solver.init_state(sample)
 
+    if args.pretrain:
+        # strict=False warm start from a previous stage's snapshot — the
+        # staged grounding -> caption -> QA recipe (train_3dvlp.py:115-121,
+        # train_caption.py:110-115)
+        n_restored, n_skipped = solver.warm_start(args.pretrain)
+        print(
+            f"warm-started from {args.pretrain}: {n_restored} leaves "
+            f"restored, {n_skipped} fresh"
+        )
+
     if args.use_checkpoint:
         from vlp3d.train.checkpoint import load_checkpoint
 

@@ -19,16 +19,73 @@ def _path(root: str, name: str) -> str:
     return os.path.join(os.path.abspath(root), name)
 
 
-def save_params(root: str, name: str, params) -> None:
+def save_params(root: str, name: str, params, batch_stats=None) -> None:
+    """Best-model snapshot. Like the reference's model.state_dict() .pth
+    files, it carries the BN running stats alongside the params."""
+    tree = {"params": params}
+    if batch_stats is not None:
+        tree["batch_stats"] = batch_stats
     ckptr = ocp.StandardCheckpointer()
     path = _path(root, name)
-    ckptr.save(path, params, force=True)
+    ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
 
 
-def load_params(root: str, name: str, template):
+def load_params(root: str, name: str):
+    """Restore a save_params snapshot: {'params': ..., 'batch_stats': ...}
+    (batch_stats absent in params-only snapshots)."""
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(_path(root, name), template)
+    saved = ckptr.restore(_path(root, name))
+    if not isinstance(saved, dict) or "params" not in saved:
+        saved = {"params": saved}
+    return saved
+
+
+def load_params_partial(path: str, params):
+    """strict=False warm start (train_3dvlp.py:115-121): restore the
+    save_params snapshot at `path` (e.g. <run>/model_last) and merge every
+    leaf that exists in the template tree `params` with a matching
+    shape/dtype; everything else keeps its fresh init. Pass
+    {'params': ..., 'batch_stats': ...} as the template to warm-start BN
+    stats too. Returns (merged, n_restored, n_skipped)."""
+    ckptr = ocp.StandardCheckpointer()
+    saved = ckptr.restore(path)
+    if not isinstance(saved, dict) or (
+        "params" in params and "params" not in saved
+    ):
+        saved = {"params": saved}
+
+    flat_saved = _flatten(saved)
+    n_restored = 0
+    n_skipped = 0
+
+    def merge(tree, prefix):
+        nonlocal n_restored, n_skipped
+        if isinstance(tree, dict):
+            return {k: merge(v, prefix + (k,)) for k, v in tree.items()}
+        loaded = flat_saved.get(prefix)
+        if (
+            loaded is not None
+            and getattr(loaded, "shape", None) == getattr(tree, "shape", ())
+            and str(getattr(loaded, "dtype", "")) == str(tree.dtype)
+        ):
+            n_restored += 1
+            return jax.numpy.asarray(loaded)
+        n_skipped += 1
+        return tree
+
+    merged = merge(params, ())
+    return merged, n_restored, n_skipped
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
 
 
 def save_checkpoint(root: str, state, best: dict, epoch: int) -> None:

@@ -347,43 +347,77 @@ class Solver:
         return score_captions(ctx["corpus"], candidates)
 
     # ------------------------------------------------------------ loop
+    def _snapshot(self, name: str) -> None:
+        ckpt.save_params(
+            self.workdir, name, self.state.params, self.state.batch_stats
+        )
+
     def __call__(self, epochs: int, *, eval_every: int = 1) -> dict:
-        for epoch in range(epochs):
-            self.train_epoch(epoch)
-            ckpt.save_params(self.workdir, "model_last", self.state.params)
-            if epoch == 49:
-                ckpt.save_params(self.workdir, "epoch_50", self.state.params)
+        epoch = 0
+        try:
+            for epoch in range(epochs):
+                self.train_epoch(epoch)
+                self._snapshot("model_last")
+                if epoch == 49:
+                    self._snapshot("epoch_50")
 
-            if (epoch + 1) % eval_every == 0:
-                val = self.eval_epoch(epoch)
-                ground_sum = val["iou_rate_0.5"]
-                cur_best = ground_sum * 2  # criterion 'sum' (solver:1126-1128)
-                if cur_best > self.best["sum"]:
-                    self.best.update(
-                        epoch=epoch + 1, sum=cur_best, **{
-                            k: v for k, v in val.items() if np.ndim(v) == 0
-                        }
-                    )
-                    ckpt.save_params(self.workdir, "model", self.state.params)
-                if ground_sum > self.best["ground_sum"]:
-                    self.best["ground_sum"] = ground_sum
-                    ckpt.save_params(
-                        self.workdir, "ground_model", self.state.params
-                    )
-                if val["iou_rate_0.25"] > self.best["ground_25"]:
-                    self.best["ground_25"] = val["iou_rate_0.25"]
-                    ckpt.save_params(
-                        self.workdir, "ground_model_25", self.state.params
-                    )
-                if val["iou_rate_0.5"] > self.best["ground_5"]:
-                    self.best["ground_5"] = val["iou_rate_0.5"]
-                    ckpt.save_params(
-                        self.workdir, "ground_model_5", self.state.params
-                    )
+                if (epoch + 1) % eval_every == 0:
+                    val = self.eval_epoch(epoch)
+                    ground_sum = val["iou_rate_0.5"]
+                    # criterion 'sum' (solver:1126-1128)
+                    cur_best = ground_sum * 2
+                    if cur_best > self.best["sum"]:
+                        self.best.update(
+                            epoch=epoch + 1, sum=cur_best, **{
+                                k: v for k, v in val.items()
+                                if np.ndim(v) == 0
+                            }
+                        )
+                        self._snapshot("model")
+                    if ground_sum > self.best["ground_sum"]:
+                        self.best["ground_sum"] = ground_sum
+                        self._snapshot("ground_model")
+                    if val["iou_rate_0.25"] > self.best["ground_25"]:
+                        self.best["ground_25"] = val["iou_rate_0.25"]
+                        self._snapshot("ground_model_25")
+                    if val["iou_rate_0.5"] > self.best["ground_5"]:
+                        self.best["ground_5"] = val["iou_rate_0.5"]
+                        self._snapshot("ground_model_5")
 
-            if epoch % 10 == 0 and epoch != 0:
-                ckpt.save_checkpoint(
-                    self.workdir, self.state, self.best, epoch
-                )
+                if epoch % 10 == 0 and epoch != 0:
+                    ckpt.save_checkpoint(
+                        self.workdir, self.state, self.best, epoch
+                    )
+        except KeyboardInterrupt:
+            # save-and-exit on interrupt (solver_3dvlp.py:356-359)
+            ckpt.save_checkpoint(self.workdir, self.state, self.best, epoch)
+            self._log({"phase": "interrupt", "epoch": epoch})
+            print(f"interrupted at epoch {epoch} — checkpoint saved to "
+                  f"{self.workdir}")
+            return self.best
         ckpt.save_checkpoint(self.workdir, self.state, self.best, epochs - 1)
         return self.best
+
+    def warm_start(self, path: str) -> tuple[int, int]:
+        """strict=False restore from a save_params snapshot into the live
+        state (the reference's --pretrain, train_3dvlp.py:115-121)."""
+        assert self.state is not None, "call init_state first"
+        merged, n_restored, n_skipped = ckpt.load_params_partial(
+            path,
+            {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            },
+        )
+        from vlp3d.train.state import canonicalize_tree
+
+        self.state = replicate(
+            self.mesh,
+            canonicalize_tree(
+                self.state.replace(
+                    params=merged["params"],
+                    batch_stats=merged["batch_stats"],
+                )
+            ),
+        )
+        return n_restored, n_skipped
