@@ -42,9 +42,17 @@ def _ball_query_chunk(centers, xyz, radius, nsample):
     n = xyz.shape[1]
     blk = 128
     pad = (-n) % blk
-    d2 = jnp.sum(
-        (centers[:, :, None, :] - xyz[:, None, :, :]) ** 2, axis=-1
-    )  # (B, C, N)
+    # d2 as explicit per-component FMAs, NOT a sum-reduce over the size-3
+    # axis: a reduce forces a fusion boundary that materializes the f32
+    # (B, C, N) distance tensor to HBM before the compare (~9ms/step of
+    # kLoop fusions at SA1 shapes); elementwise adds let the whole
+    # distance+compare+convert chain fuse into one s8-producing loop.
+    # The summation order (dx2+dy2)+dz2 matches the oracle/CUDA kernel
+    # exactly, so boundary decisions are bit-identical.
+    dx = centers[:, :, None, 0] - xyz[:, None, :, 0]
+    dy = centers[:, :, None, 1] - xyz[:, None, :, 1]
+    dz = centers[:, :, None, 2] - xyz[:, None, :, 2]
+    d2 = dx * dx + dy * dy + dz * dz  # (B, C, N)
     in_ball = (d2 < radius * radius).astype(jnp.int8)
     if pad:
         in_ball = jnp.pad(in_ball, ((0, 0), (0, 0), (0, pad)))
@@ -70,11 +78,27 @@ def _ball_query_chunk(centers, xyz, radius, nsample):
         axis=2,
     )  # (B, C, S)
     bstar_c = jnp.minimum(bstar, nb - 1)
-    rows_mask = jnp.take_along_axis(
-        m_blocks, bstar_c[..., None], axis=2
-    ).astype(jnp.int32)  # (B, C, S, blk)
-    start_sel = jnp.take_along_axis(block_start, bstar_c, axis=2)  # (B,C,S)
-    local_cum = jnp.cumsum(rows_mask, axis=-1)  # inclusive, 128 lanes
+    # Select each slot's target block row and start count via one-hot
+    # batched matmuls on the MXU. The equivalent take_along_axis gathers
+    # lower to kCustom row-gathers that cost ~25ms/step at SA1 shapes
+    # (one of them 10ms to move 0.5MB); the matmuls cost <1ms. one-hot
+    # rows are exact in bf16; block_start (<= N <= 2^24) needs f32.
+    oh = jax.nn.one_hot(bstar_c, nb, dtype=jnp.bfloat16)  # (B, C, S, NB)
+    rows_mask = jnp.einsum(
+        "bcsn,bcnk->bcsk",
+        oh,
+        m_blocks.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (B, C, S, blk) 0/1 values
+    start_sel = jnp.einsum(
+        "bcsn,bcn->bcs",
+        oh.astype(jnp.float32),
+        block_start.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (B, C, S)
+    local_cum = jnp.cumsum(
+        rows_mask.astype(jnp.int32), axis=-1
+    )  # inclusive, 128 lanes
     t_local = targets[None, None, :] - start_sel
     within = jnp.sum(
         (local_cum < t_local[..., None]).astype(jnp.int32), axis=-1
