@@ -116,16 +116,10 @@ class SAModule(nn.Module):
         # g(W(xyz))/r - W(c)/r, so ONE neighbourhood gather moves both the
         # feature pre-activations and the recentred-coordinate term
         # (separate (B, M, K, 3) xyz gathers lower to ~ns-per-row kCustom
-        # gathers, 7-10ms/step at SA1 shapes). Pad rows to 128 lanes: the
-        # TPU row-gather runs ~10x faster on full-tile rows.
+        # gathers, 7-10ms/step at SA1 shapes).
         scale = 1.0 / self.radius if self.normalize_xyz else 1.0
         pre_all = pre + w_xyz(xyz) * scale  # (B, N, c0)
-        lane_pad = (-c0) % 128
-        if lane_pad:
-            pre_all = jnp.pad(pre_all, ((0, 0), (0, 0), (0, lane_pad)))
-        grouped = group_points(pre_all, idx)  # (B, M, K, c0 [+pad])
-        if lane_pad:
-            grouped = grouped[..., :c0]
+        grouped = group_points(pre_all, idx)  # (B, M, K, c0)
         x = grouped - (w_xyz(new_xyz) * scale)[:, :, None, :]
 
         x = nn.BatchNorm(

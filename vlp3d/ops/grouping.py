@@ -66,6 +66,37 @@ def _gather_points_bwd(res, g):
 _gather_points_vjp.defvjp(_gather_points_fwd, _gather_points_bwd)
 
 
+_FAST_GATHER_MAX_ROWS = 1 << 18  # measured TPU cliff: tables with >= 2^18
+# rows gather at ~11.7 ns/row; below it ~3.1 ns/row (4x). Batched gathers
+# never take the fast path, so flatten batches into per-group tables.
+
+
+def _grouped_row_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather restructured for the TPU fast path: split the batch into
+    groups whose flattened (g*N, C) tables stay under 2^18 rows, each
+    behind an optimization_barrier so XLA cannot fuse the batch slice back
+    into one big-table (slow-path) gather. (A single pair-folded gather
+    over the full table measured SLOWER — the fast path is sensitive to
+    the index/table producers, not just table row count.)"""
+    b, n, c = points.shape
+    m, k = idx.shape[1], idx.shape[2]
+    g = max(1, min(b, _FAST_GATHER_MAX_ROWS // max(n, 1)))
+    while b % g:
+        g -= 1
+    if g == b and b * n >= _FAST_GATHER_MAX_ROWS:
+        g = 1
+    offs = (jnp.arange(g, dtype=idx.dtype) * n)[:, None, None]
+    outs = []
+    for j in range(0, b, g):
+        tbl = jax.lax.optimization_barrier(
+            points[j : j + g].reshape(g * n, c)
+        )
+        gi = (idx[j : j + g] + offs).reshape(-1)
+        outs.append(jnp.take(tbl, gi, axis=0))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return out.reshape(b, m, k, c)
+
+
 def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """out[b, m, k, c] = points[b, idx[b, m, k], c].
 
@@ -77,9 +108,7 @@ def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
 
 @jax.custom_vjp
 def _group_points_vjp(points, idx):
-    return jnp.take_along_axis(
-        points[:, :, None, :], idx[:, :, :, None], axis=1
-    )
+    return _grouped_row_gather(points, idx)
 
 
 def _group_points_fwd(points, idx):
