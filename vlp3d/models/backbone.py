@@ -38,7 +38,8 @@ class PointNet2Backbone(nn.Module):
 
         np_, r, ns = self.npoints, self.radii, self.nsamples
         sa1_xyz, sa1_f, sa1_inds = SAModule(
-            np_[0], r[0], ns[0], [64, 64, 128], bn_momentum=m, name="sa1"
+            np_[0], r[0], ns[0], [64, 64, 128], bn_momentum=m, name="sa1",
+            leaf_inputs=True,  # raw inputs: scatter-free backward
         )(xyz, features, train=train)
         sa2_xyz, sa2_f, sa2_inds = SAModule(
             np_[1], r[1], ns[1], [128, 128, 256], bn_momentum=m, name="sa2"

@@ -68,6 +68,13 @@ class SAModule(nn.Module):
     normalize_xyz: bool = True
     bn_momentum: float = 0.9
     fuse_first_layer: bool = True
+    # Set when xyz/features are autodiff leaves (raw inputs): in training,
+    # the neighbourhood gather then has NO backward scatter at all —
+    # gather raw rows, apply the first linear after (linear-before-gather
+    # would force a 1M-row sorted-scatter, ~43ms/step at SA1 shapes, just
+    # to reach the weight gradients). Inference keeps the fused 64-lane
+    # gather, which is 2x faster forward (single-tile rows).
+    leaf_inputs: bool = False
 
     @nn.compact
     def __call__(
@@ -109,18 +116,30 @@ class SAModule(nn.Module):
         # first layer split: W = [W_xyz; W_feat] (the reference's first
         # SharedMLP conv over the concat [xyz_rel, features])
         w_xyz = nn.Dense(c0, use_bias=False, name="first_xyz")
-        pre = nn.Dense(c0, use_bias=False, name="first_feat")(features)
+        w_feat = nn.Dense(c0, use_bias=False, name="first_feat")
 
         idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
-        # Fold the xyz half into the gathered tensor: W(g(xyz) - c)/r ==
-        # g(W(xyz))/r - W(c)/r, so ONE neighbourhood gather moves both the
-        # feature pre-activations and the recentred-coordinate term
-        # (separate (B, M, K, 3) xyz gathers lower to ~ns-per-row kCustom
-        # gathers, 7-10ms/step at SA1 shapes).
         scale = 1.0 / self.radius if self.normalize_xyz else 1.0
-        pre_all = pre + w_xyz(xyz) * scale  # (B, N, c0)
-        grouped = group_points(pre_all, idx)  # (B, M, K, c0)
-        x = grouped - (w_xyz(new_xyz) * scale)[:, :, None, :]
+        if self.leaf_inputs and train:
+            # xyz/features are raw inputs: gather rows FIRST (the gather
+            # has no VJP to compute), then apply the split first linear.
+            src = jax.lax.stop_gradient(
+                jnp.concatenate([xyz, features], axis=-1)
+            )
+            grouped = group_points(src, idx)  # (B, M, K, 3 + Cin)
+            gxyz = (
+                grouped[..., :3] - new_xyz[:, :, None, :]
+            ) * scale
+            x = w_feat(grouped[..., 3:]) + w_xyz(gxyz)
+        else:
+            # Fold the xyz half into the gathered tensor:
+            # W(g(xyz) - c)/r == g(W(xyz))/r - W(c)/r, so ONE gather moves
+            # both the feature pre-activations and the recentred-coordinate
+            # term (separate (B, M, K, 3) xyz gathers lower to ~ns-per-row
+            # kCustom gathers, 7-10ms/step at SA1 shapes).
+            pre_all = w_feat(features) + w_xyz(xyz) * scale  # (B, N, c0)
+            grouped = group_points(pre_all, idx)  # (B, M, K, c0)
+            x = grouped - (w_xyz(new_xyz) * scale)[:, :, None, :]
 
         x = nn.BatchNorm(
             use_running_average=not train,

@@ -92,7 +92,16 @@ def _grouped_row_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
             points[j : j + g].reshape(g * n, c)
         )
         gi = (idx[j : j + g] + offs).reshape(-1)
-        outs.append(jnp.take(tbl, gi, axis=0))
+        if c <= 128:
+            outs.append(jnp.take(tbl, gi, axis=0))
+        else:
+            # rows crossing one 128-lane tile gather ~3x slower per row
+            # regardless of width; gather 128-lane spans separately
+            spans = [
+                jnp.take(tbl[:, s : s + 128], gi, axis=0)
+                for s in range(0, c, 128)
+            ]
+            outs.append(jnp.concatenate(spans, axis=-1))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     return out.reshape(b, m, k, c)
 
