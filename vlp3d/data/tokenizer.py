@@ -73,10 +73,17 @@ class BertWordPieceTokenizer:
         self.inv_vocab = {v: k for k, v in self.vocab.items()}
         self.vocab_size = len(self.vocab)
         self.max_word_chars = max_word_chars
+        # special ids resolved from the vocab (bert-base-uncased positions
+        # are the defaults; custom vocabs may place them elsewhere)
+        self.pad_token_id = self.vocab.get("[PAD]", PAD)
+        self.unk_token_id = self.vocab.get("[UNK]", UNK)
+        self.cls_token_id = self.vocab.get("[CLS]", CLS)
+        self.sep_token_id = self.vocab.get("[SEP]", SEP)
+        self.mask_token_id = self.vocab.get("[MASK]", MASK)
 
     def wordpiece(self, word: str) -> list[int]:
         if len(word) > self.max_word_chars:
-            return [UNK]
+            return [self.unk_token_id]
         pieces, start = [], 0
         while start < len(word):
             end = len(word)
@@ -90,7 +97,7 @@ class BertWordPieceTokenizer:
                     break
                 end -= 1
             if cur is None:
-                return [UNK]
+                return [self.unk_token_id]
             pieces.append(cur)
             start = end
         return pieces
@@ -111,7 +118,7 @@ class BertWordPieceTokenizer:
         attention = np.zeros((n, max_length), np.int32)
         for i, t in enumerate(texts):
             ids = self.tokenize_ids(t)[: max_length - 2]
-            seq = [CLS] + ids + [SEP]
+            seq = [self.cls_token_id] + ids + [self.sep_token_id]
             input_ids[i, : len(seq)] = seq
             attention[i, : len(seq)] = 1
         return {"input_ids": input_ids, "attention_mask": attention}
@@ -120,9 +127,9 @@ class BertWordPieceTokenizer:
         words = []
         for i in ids:
             i = int(i)
-            if i in (PAD, CLS):
+            if i in (self.pad_token_id, self.cls_token_id):
                 continue
-            if i == SEP:
+            if i == self.sep_token_id:
                 break
             tok = self.inv_vocab.get(i, "[UNK]")
             if tok.startswith("##") and words:
