@@ -49,3 +49,29 @@ def test_answer_accuracy():
     assert float(a2) == 0.5  # top-2 of sample 1 = {0, 1}, miss answer 2
     _, a4 = answer_accuracy(scores, cats, topk=4)
     assert float(a4) == 1.0
+
+
+def test_answer_accuracy_parity_vs_reference_transcription():
+    """Numpy transcription of lib/vqa/eval_helper.py:228-237:
+    acc@1 = (one_hot(argmax) * cats).max(1).mean(),
+    acc@10 = (one_hot(topk).sum(1) * cats).max(1).mean()."""
+    rng = np.random.default_rng(1)
+    b, a, k = 16, 32, 10
+    scores = rng.normal(size=(b, a)).astype(np.float32)
+    cats = (rng.random((b, a)) < 0.1).astype(np.float32)
+
+    def oracle(scores, cats, topk):
+        at1 = scores.argmax(1)
+        oh1 = np.eye(a)[at1]
+        acc1 = (oh1 * cats).max(1).mean()
+        idx = np.argsort(-scores, axis=1)[:, :topk]
+        ohk = np.zeros((b, a))
+        for i in range(b):
+            ohk[i, idx[i]] = 1
+        acck = (ohk * cats).max(1).mean()
+        return acc1, acck
+
+    o1, ok = oracle(scores, cats, k)
+    a1, ak = answer_accuracy(jnp.asarray(scores), jnp.asarray(cats), topk=k)
+    np.testing.assert_allclose(float(a1), o1, rtol=1e-6)
+    np.testing.assert_allclose(float(ak), ok, rtol=1e-6)

@@ -17,17 +17,31 @@ import numpy as np
 from vlp3d.data.dataset import ScanReferJointDataset
 
 
-def build_answer_vocab(qa_annotations: list, min_count: int = 1) -> dict:
-    """answer string -> index, ordered by frequency then name."""
+def answer_score(freq: int) -> float:
+    """Soft BCE target per answer frequency (lib/vqa/dataset.py:36-46):
+    0->0, 1->0.3, 2->0.6, 3->0.9, >=4->1.0."""
+    return 1.0 if freq >= 4 else (0.0, 0.3, 0.6, 0.9)[freq]
+
+
+def build_answer_vocab(
+    qa_annotations: list, min_count: int = 1, max_size: int = -1
+):
+    """Alphabetically-ordered answer candidates + the frequency counter
+    (train_qa.py:32-45: Counter.most_common() capped at answer_max_size,
+    filtered by answer_min_freq, then sorted keys).
+
+    Returns (vocab: answer -> index, counter: answer -> train frequency).
+    """
     counts = Counter()
     for q in qa_annotations:
         for a in q.get("answers", []):
             counts[a] += 1
-    answers = sorted(
-        (a for a, c in counts.items() if c >= min_count),
-        key=lambda a: (-counts[a], a),
-    )
-    return {a: i for i, a in enumerate(answers)}
+    items = counts.most_common()
+    if max_size >= 0:
+        items = items[:max_size]
+    kept = {a: c for a, c in items if c >= min_count}
+    vocab = {a: i for i, a in enumerate(sorted(kept))}
+    return vocab, kept
 
 
 class ScanQADataset(ScanReferJointDataset):
@@ -52,7 +66,12 @@ class ScanQADataset(ScanReferJointDataset):
                     "answers": q.get("answers", []),
                 }
             )
-        self.answer_vocab = answer_vocab or build_answer_vocab(anns)
+        if answer_vocab is None:
+            answer_vocab, answer_counter = build_answer_vocab(anns)
+        else:
+            answer_counter = kwargs.pop("answer_counter", None) or {}
+        self.answer_vocab = answer_vocab
+        self.answer_counter = answer_counter
         self.num_answers = num_answers or max(len(self.answer_vocab), 1)
         super().__init__(anns, scene_source, tokenizer, **kwargs)
 
@@ -62,17 +81,23 @@ class ScanQADataset(ScanReferJointDataset):
         l = self.lang_num_max
         answer_cat = np.zeros((l,), np.int32)
         answer_cats = np.zeros((l, self.num_answers), np.float32)
+        answer_scores = np.zeros((l, self.num_answers), np.float32)
         for j in range(l):
             data = chunk[min(j, len(chunk) - 1)]
-            idxs = [
-                self.answer_vocab[a]
-                for a in data.get("answers", [])
-                if a in self.answer_vocab
-            ]
-            if idxs:
-                answer_cat[j] = idxs[0]
-                answer_cats[j, idxs] = 1.0
+            for a in data.get("answers", []):
+                ind = self.answer_vocab.get(a, -1)
+                if ind < 0:
+                    continue
+                answer_cats[j, ind] = 1.0
+                # per-answer soft score from train frequency
+                # (lib/vqa/dataset.py:195-206)
+                answer_scores[j, ind] = answer_score(
+                    self.answer_counter.get(a, 0)
+                )
+            # answer_cat = answer_cats.argmax() (dataset.py:210): the
+            # LOWEST labelled vocab index, not the first listed answer
+            answer_cat[j] = int(np.argmax(answer_cats[j]))
         item["answer_cat"] = answer_cat  # (L,)
         item["answer_cats"] = answer_cats  # (L, A) multi-hot
-        item["answer_cat_scores"] = answer_cats
+        item["answer_cat_scores"] = answer_scores  # (L, A) soft targets
         return item
