@@ -80,6 +80,65 @@ def test_hf_import_matches_torch_activations():
     )
 
 
+def test_hf_distilbert_import_matches_torch_activations():
+    from vlp3d.models.bert import distilbert_config, load_hf_distilbert_params
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.DistilBertConfig(
+        vocab_size=30522,
+        dim=768,
+        n_layers=6,
+        n_heads=12,
+        hidden_dim=3072,
+        dropout=0.0,
+        attention_dropout=0.0,
+        attn_implementation="eager",
+    )
+    hf = transformers.DistilBertModel(hf_cfg).eval()
+
+    ids = np.array(
+        [[101, 2023, 2003, 1037, 3231, 102, 0, 0],
+         [101, 27227, 7592, 2088, 1012, 999, 2232, 102]],
+        np.int32,
+    )
+    mask = np.array([[1, 1, 1, 1, 1, 1, 0, 0], [1] * 8], np.int32)
+    with torch.no_grad():
+        golden = hf(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).last_hidden_state.numpy()
+
+    cfg = dataclasses_replace(
+        distilbert_config(), hidden_dropout=0.0, attention_dropout=0.0
+    )
+    enc = BertTextEncoder(cfg)
+    params = enc.init(
+        {"params": jax.random.key(0)}, jnp.asarray(ids), jnp.asarray(mask)
+    )["params"]
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = load_hf_distilbert_params({"text_encoder": params}, sd)[
+        "text_encoder"
+    ]
+    # distil "text mode" runs all 6 layers (lang_bert_module.py:99-101)
+    got = enc.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(mask), mode="text"
+    )
+    # DistilBERT masks attention rather than padding positions; compare
+    # valid positions only
+    np.testing.assert_allclose(
+        np.asarray(got)[0, :6], golden[0, :6], rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[1], golden[1], rtol=2e-4, atol=2e-4
+    )
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
 def test_wordpiece_matches_hf(tmp_path):
     from transformers.models.bert.tokenization_bert import (
         BasicTokenizer,

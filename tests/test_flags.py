@@ -65,3 +65,11 @@ def test_mask_box_changes_boxes():
 def test_use_lang_emb_second_scorer():
     out, _ = run(tiny_config(use_lang_emb=True, use_con=False))
     assert out["cluster_ref"].shape == (2 * 4, 16)
+
+
+def test_use_distil_text_encoder():
+    """--use_distil swaps in the 6-layer DistilBERT encoder
+    (lang_bert_module.py:30-45); no token-type table, all layers run."""
+    out, m = run(tiny_config(use_distil=True, use_con=False))
+    assert out["lang_fea"].shape[-1] == 128
+    assert np.isfinite(float(m["ref_loss"]))

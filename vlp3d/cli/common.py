@@ -54,6 +54,7 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--use_multiview", action="store_true")
     p.add_argument("--use_normal", action="store_true")
     p.add_argument("--use_height", action="store_true", default=True)
+    p.add_argument("--use_distil", action="store_true")
     p.add_argument("--unfreeze", type=int, default=6)
     p.add_argument("--use_checkpoint", type=str, default="")
     p.add_argument("--pretrain", type=str, default="")
@@ -92,6 +93,7 @@ def config_from_args(args) -> Config:
         use_lang_emb=args.use_lang_emb,
         use_vote_weight=args.use_vote_weight,
         mask_box=args.mask_box,
+        use_distil=args.use_distil,
     )
     return Config(
         dataset=DatasetConfig(

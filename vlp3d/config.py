@@ -55,6 +55,7 @@ class ModelConfig:
     vocab_size: int = 30522
     max_des_len: int = 30  # caption decode length (config_joint.py)
     fusion_layer: int = 6  # BERT text-mode depth
+    use_distil: bool = False  # DistilBERT text encoder (--use_distil)
     num_answers: int = 8192
     # multiview feature channels inside point_clouds, consumed by the
     # relation module (relation_module.py:101-102)

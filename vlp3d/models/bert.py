@@ -41,6 +41,16 @@ class BertConfig:
     fusion_layer: int = 6  # text mode runs layers [0, fusion_layer)
 
 
+def distilbert_config() -> "BertConfig":
+    """DistilBERT-base-uncased: 6 layers, no token-type embeddings
+    (type_vocab_size=0 skips them); text mode runs ALL layers — the
+    reference's distil path calls the full distilbert forward
+    (lang_bert_module.py:99-101)."""
+    return BertConfig(
+        num_hidden_layers=6, fusion_layer=6, type_vocab_size=0
+    )
+
+
 class BertEmbeddings(nn.Module):
     config: BertConfig
 
@@ -54,10 +64,11 @@ class BertEmbeddings(nn.Module):
         pos = nn.Embed(
             c.max_position_embeddings, c.hidden_size, name="position_embeddings"
         )(jnp.arange(seq)[None, :])
-        tok = nn.Embed(
-            c.type_vocab_size, c.hidden_size, name="token_type_embeddings"
-        )(jnp.zeros_like(input_ids))
-        x = word + pos + tok
+        x = word + pos
+        if c.type_vocab_size:  # DistilBERT has no token-type embeddings
+            x = x + nn.Embed(
+                c.type_vocab_size, c.hidden_size, name="token_type_embeddings"
+            )(jnp.zeros_like(input_ids))
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm")(x)
         return nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
 
@@ -275,4 +286,54 @@ def load_hf_bert_params(flax_params: dict, state_dict: dict) -> dict:
         put(dst + ["attention_LayerNorm", "bias"], g(src + "attention.output.LayerNorm.bias"))
         put(dst + ["output_LayerNorm", "scale"], g(src + "output.LayerNorm.weight"))
         put(dst + ["output_LayerNorm", "bias"], g(src + "output.LayerNorm.bias"))
+    return p
+
+
+def load_hf_distilbert_params(flax_params: dict, state_dict: dict) -> dict:
+    """Copy HF distilbert-base-uncased torch weights into BertTextEncoder
+    params built with distilbert_config(). A DistilBERT layer is the same
+    post-LN block as a BERT layer under renamed tensors
+    (q_lin/k_lin/v_lin/out_lin, sa_layer_norm, ffn.lin1/lin2,
+    output_layer_norm); embeddings carry no token-type table."""
+    import numpy as np
+
+    p = jax.tree_util.tree_map(lambda x: x, flax_params)
+
+    def put(path, value):
+        node = p
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = jnp.asarray(value)
+
+    def g(name):
+        key = name if name in state_dict else "distilbert." + name
+        return np.asarray(state_dict[key])
+
+    emb = ["text_encoder", "embeddings"]
+    put(emb + ["word_embeddings", "embedding"], g("embeddings.word_embeddings.weight"))
+    put(emb + ["position_embeddings", "embedding"], g("embeddings.position_embeddings.weight"))
+    put(emb + ["LayerNorm", "scale"], g("embeddings.LayerNorm.weight"))
+    put(emb + ["LayerNorm", "bias"], g("embeddings.LayerNorm.bias"))
+
+    n_layers = sum(
+        1 for k in flax_params["text_encoder"] if k.startswith("layer_")
+    )
+    for i in range(n_layers):
+        src = f"transformer.layer.{i}."
+        dst = ["text_encoder", f"layer_{i}"]
+        pairs = [
+            ("query", "attention.q_lin"),
+            ("key", "attention.k_lin"),
+            ("value", "attention.v_lin"),
+            ("attention_output", "attention.out_lin"),
+            ("intermediate", "ffn.lin1"),
+            ("output", "ffn.lin2"),
+        ]
+        for name, hf in pairs:
+            put(dst + [name, "kernel"], g(src + hf + ".weight").T)
+            put(dst + [name, "bias"], g(src + hf + ".bias"))
+        put(dst + ["attention_LayerNorm", "scale"], g(src + "sa_layer_norm.weight"))
+        put(dst + ["attention_LayerNorm", "bias"], g(src + "sa_layer_norm.bias"))
+        put(dst + ["output_LayerNorm", "scale"], g(src + "output_layer_norm.weight"))
+        put(dst + ["output_LayerNorm", "bias"], g(src + "output_layer_norm.bias"))
     return p

@@ -76,10 +76,16 @@ class JointNet(nn.Module):
             multiview_dim=cfg.multiview_dim,
         )
         if not cfg.no_reference:
+            from vlp3d.models.bert import distilbert_config
+
             self.lang = LangModule(
                 num_class=ds.num_class,
                 use_lang_classifier=cfg.use_lang_classifier,
-                bert_config=BertConfig(fusion_layer=cfg.fusion_layer),
+                bert_config=(
+                    distilbert_config()  # --use_distil, lang_bert_module.py:30-45
+                    if cfg.use_distil
+                    else BertConfig(fusion_layer=cfg.fusion_layer)
+                ),
             )
             self.match = MatchModule(
                 num_proposals=cfg.num_proposal,
