@@ -93,6 +93,21 @@ def test_export_and_preprocess(tmp_path):
     assert np.isfinite(pre).all()
     assert os.path.exists(out / f"{scan}_preprocess_train.npy")
 
+    # multiview hdf5 source path (lib/vqa/dataset.py:967-990): per-point
+    # 128-d ENet features appended to the point-cloud columns
+    import h5py
+
+    from vlp3d.data.dataset import DirectorySceneSource
+
+    mv_path = str(tmp_path / "enet_feats_maxpool.hdf5")
+    feats = np.arange(300 * 128, dtype=np.float32).reshape(300, 128)
+    with h5py.File(mv_path, "w") as f:
+        f.create_dataset(scan, data=feats)
+    src = DirectorySceneSource(str(out), multiview_hdf5=mv_path)
+    scene = src(scan, "train")
+    assert scene["point_cloud"].shape == (300, 6 + 128)
+    np.testing.assert_array_equal(scene["point_cloud"][:, 6:], feats)
+
 
 def test_ply_reader_roundtrip(tmp_path):
     verts = make_scan(tmp_path, "scene0002_00")

@@ -38,6 +38,14 @@ def test_solver_one_epoch(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "model_last"))
     assert os.path.exists(os.path.join(str(tmp_path), "checkpoint"))
     assert os.path.exists(os.path.join(str(tmp_path), "log.jsonl"))
+    # tensorboard dual writers emitted event files with scalar records
+    import glob
+
+    for split in ("train", "val"):
+        evs = glob.glob(
+            os.path.join(str(tmp_path), "tensorboard", split, "events.*")
+        )
+        assert evs and os.path.getsize(evs[0]) > 100, split
     assert np.isfinite(best["sum"])
 
     # resume path

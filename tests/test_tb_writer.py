@@ -1,0 +1,39 @@
+"""TB event writer round-trips through the real tensorboard reader."""
+
+import numpy as np
+import pytest
+
+
+def test_scalar_events_roundtrip(tmp_path):
+    from vlp3d.utils.tb_writer import SummaryWriter
+
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("train/loss", 1.25, 0)
+    w.add_scalar("train/loss", 0.75, 1)
+    w.add_scalars({"iou_rate_0.5": 0.5, "lang_acc": 0.9}, 2, prefix="val/")
+    w.close()
+
+    tb = pytest.importorskip("tensorboard.backend.event_processing.event_file_loader")
+    import glob
+
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    assert len(files) == 1
+    events = list(tb.EventFileLoader(files[0]).Load())
+    assert events[0].file_version == "brain.Event:2"
+    def val(v):
+        # the loader migrates simple_value to a DT_FLOAT tensor
+        if v.WhichOneof("value") == "tensor":
+            return float(v.tensor.float_val[0])
+        return float(v.simple_value)
+
+    scalars = [
+        (e.step, v.tag, val(v))
+        for e in events[1:]
+        for v in e.summary.value
+    ]
+    assert (0, "train/loss", 1.25) in scalars
+    assert (1, "train/loss", 0.75) in scalars
+    tags = {t for _, t, _ in scalars}
+    assert {"val/iou_rate_0.5", "val/lang_acc"} <= tags
+    vals = {t: v for _, t, v in scalars}
+    np.testing.assert_allclose(vals["val/lang_acc"], 0.9, rtol=1e-6)

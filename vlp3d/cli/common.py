@@ -52,6 +52,9 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--use_attr_loss", action="store_true")
     p.add_argument("--mask_box", action="store_true")
     p.add_argument("--use_multiview", action="store_true")
+    p.add_argument("--multiview_hdf5", type=str, default="",
+                   help="enet_feats_maxpool.hdf5 with per-point 128-d "
+                        "features appended to the preprocess npy columns")
     p.add_argument("--use_normal", action="store_true")
     p.add_argument("--use_height", action="store_true", default=True)
     p.add_argument("--use_distil", action="store_true")
@@ -161,7 +164,9 @@ def build_datasets(args, config: Config):
         build_nyu40id2class(args.labels_tsv) if args.labels_tsv else {}
     )
     tokenizer = load_tokenizer(args.bert_vocab or None)
-    source = DirectorySceneSource(args.scannet_data)
+    source = DirectorySceneSource(
+        args.scannet_data, multiview_hdf5=args.multiview_hdf5 or None
+    )
     mean_size = config.dataset.mean_size_arr()
 
     def make(split, augment, shuffle):

@@ -117,18 +117,37 @@ class DirectorySceneSource:
     """Reads the offline preprocessing outputs:
     {scene}_preprocess_{split}.npy (points+features, dataset.py:598-601)
     plus {scene}_ins_label.npy / _sem_label.npy / _aligned_bbox.npy
-    (batch_load_scannet_data.py outputs)."""
+    (batch_load_scannet_data.py outputs).
 
-    def __init__(self, root: str):
+    multiview_hdf5: optional enet_feats_maxpool.hdf5 path (the task-variant
+    datasets' per-point 128-d ENet features, lib/vqa/dataset.py:967-990 /
+    lib/visual_grounding/dataset.py) — appended as extra point-cloud
+    columns when the preprocess npy doesn't already bake them in."""
+
+    def __init__(self, root: str, multiview_hdf5: str | None = None):
         self.root = root
         self.cache: dict = {}
+        self.multiview_hdf5 = multiview_hdf5
+        self._mv = None  # lazily opened per process (h5py is not fork-safe)
+
+    def _multiview(self, scene_id: str):
+        if self._mv is None:
+            import h5py
+
+            self._mv = h5py.File(self.multiview_hdf5, "r", libver="latest")
+        return np.asarray(self._mv[scene_id], np.float32)
 
     def __call__(self, scene_id: str, split: str) -> dict:
         key = (scene_id, split)
         if key not in self.cache:
             p = os.path.join(self.root, scene_id)
+            point_cloud = np.load(f"{p}_preprocess_{split}.npy")
+            if self.multiview_hdf5 is not None:
+                point_cloud = np.concatenate(
+                    [point_cloud, self._multiview(scene_id)], axis=1
+                )
             self.cache[key] = {
-                "point_cloud": np.load(f"{p}_preprocess_{split}.npy"),
+                "point_cloud": point_cloud,
                 "instance_labels": np.load(f"{p}_ins_label.npy"),
                 "semantic_labels": np.load(f"{p}_sem_label.npy"),
                 "instance_bboxes": np.load(f"{p}_aligned_bbox.npy"),

@@ -33,7 +33,8 @@ class MultiHeadAttention(nn.Module):
         attention_weights: jax.Array | None = None,
         way: str = "add",
         deterministic: bool = True,
-    ) -> jax.Array:
+        return_attention: bool = False,
+    ):
         b, nq, _ = queries.shape
         nk = keys.shape[1]
         h = self.heads
@@ -63,7 +64,10 @@ class MultiHeadAttention(nn.Module):
         out = nn.Dense(self.d_model, name="fc_o")(out)
 
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5)(queries + out)
+        out = nn.LayerNorm(epsilon=1e-5)(queries + out)
+        if return_attention:
+            return out, att  # att: (B, h, Nq, Nk) softmax probabilities
+        return out
 
 
 class PositionwiseFeedForward(nn.Module):

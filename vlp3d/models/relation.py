@@ -97,6 +97,7 @@ class RelationModule(nn.Module):
         )
 
         dist_weights = None
+        attn_maps = []  # per-layer softmax maps (heatmap_visualize.py:433)
         for i in range(self.depth):
             if self.use_dist_weight_matrix:
                 w = geo
@@ -121,7 +122,7 @@ class RelationModule(nn.Module):
                 )(box_feat)
                 features = features + bbox_embedding
 
-            features = MultiHeadAttention(
+            features, att = MultiHeadAttention(
                 self.hidden_size, self.heads, name=f"self_attn_{i}"
             )(
                 features,
@@ -130,6 +131,14 @@ class RelationModule(nn.Module):
                 attention_weights=dist_weights,
                 way="add" if self.use_dist_weight_matrix else "mul",
                 deterministic=not train,
+                return_attention=True,
             )
+            attn_maps.append(att)
 
-        return {"bbox_feature": features, "dist_weights": dist_weights}
+        return {
+            "bbox_feature": features,
+            "dist_weights": dist_weights,
+            # (B, depth*heads, K, K), the reference's
+            # torch.cat(data['relation'], dim=1) heatmap source
+            "relation_attn": jnp.concatenate(attn_maps, axis=1),
+        }

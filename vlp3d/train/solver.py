@@ -96,6 +96,13 @@ class Solver:
             "ground_25": -1e10, "ground_5": -1e10, "caption_sum": -1e10,
         }
         self._logf = open(os.path.join(workdir, "log.jsonl"), "a")
+        # tensorboard dual writers (solver_3dvlp.py:214-221): every scalar
+        # series the step emits lands under train/ and val/
+        from vlp3d.utils.tb_writer import SummaryWriter
+
+        self._tb_train = SummaryWriter(os.path.join(workdir, "tensorboard", "train"))
+        self._tb_val = SummaryWriter(os.path.join(workdir, "tensorboard", "val"))
+        self._global_step = 0
 
     # ------------------------------------------------------------ model
     def _bn_momentum(self, epoch: int) -> float:
@@ -171,9 +178,15 @@ class Solver:
             )
             self.timers.start("iter")
             self.state, metrics = train_step(self.state, batch, self.rng)
+            self._global_step += 1
             if it % self.log_every == 0 or it == n_iters - 1:
                 scal = {k: float(v) for k, v in metrics.items()}
                 agg.append(scal)
+                self._tb_train.add_scalars(scal, self._global_step)
+                self._tb_train.add_scalars(
+                    self.timers.report(), self._global_step, prefix="time/"
+                )
+                self._tb_train.flush()
                 self._log(
                     {
                         "phase": "train",
@@ -278,8 +291,16 @@ class Solver:
         if scalars:
             for k in scalars[0]:
                 result[k] = float(np.mean([s[k] for s in scalars]))
-        self._log({"phase": "val", "epoch": epoch, **{
-            k: v for k, v in result.items() if np.ndim(v) == 0}})
+        val_scalars = {
+            k: v for k, v in result.items() if np.ndim(v) == 0
+        }
+        self._tb_val.add_scalars(
+            {k: float(v) for k, v in val_scalars.items()
+             if isinstance(v, (int, float))},
+            self._global_step,
+        )
+        self._tb_val.flush()
+        self._log({"phase": "val", "epoch": epoch, **val_scalars})
         return result
 
     def caption_eval(self, epoch: int) -> dict:

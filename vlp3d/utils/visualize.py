@@ -48,6 +48,57 @@ def write_obj_boxes(path: str, corners: np.ndarray):
                 f.write(f"l {off + a + 1} {off + b + 1}\n")
 
 
+def write_ply_box_heatmap(path: str, corners: np.ndarray, weights: np.ndarray,
+                          color=(255, 0, 0), gain: float = 5.0):
+    """All K proposal boxes as colored wireframe vertices, intensity
+    proportional to the attention weight (clipped at 1 after x5 gain, the
+    reference's p = min(1, heatmap*5), core_vision_utils.py:72-78).
+
+    corners (K, 8, 3); weights (K,). The reference emits OBJ wireframes
+    per box; a single colored-vertex PLY per map is the same contract in
+    one file (PLY carries per-vertex color, OBJ does not).
+    """
+    k = len(corners)
+    w = np.clip(np.asarray(weights, np.float32) * gain, 0.0, 1.0)
+    verts, cols, edges = [], [], []
+    for i in range(k):
+        off = len(verts)
+        verts.extend(np.asarray(corners[i]).tolist())
+        cols.extend([[int(c * w[i]) for c in color]] * 8)
+        edges.extend([(off + a, off + b) for a, b in _BOX_EDGES])
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element edge {len(edges)}\n")
+        f.write("property int vertex1\nproperty int vertex2\nend_header\n")
+        for v, c in zip(verts, cols):
+            f.write(f"{v[0]:.4f} {v[1]:.4f} {v[2]:.4f} {c[0]} {c[1]} {c[2]}\n")
+        for a, b in edges:
+            f.write(f"{a} {b}\n")
+
+
+def save_bbox_heatmap(out_dir: str, corners: np.ndarray, heatmap: np.ndarray,
+                      head: int | None = None):
+    """Per-(object, head) attention heatmap dumps over all proposal boxes
+    (scripts/core_vision_utils.py:57-79 / heatmap_visualize.py:460-462).
+
+    corners (K, 8, 3); heatmap (n_obj, n_heads, K) attention of each
+    object query over the K proposals. Writes <obj>_<head>.ply files.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    hm = np.asarray(heatmap)
+    heads = range(hm.shape[1]) if head is None else [head]
+    for oi in range(hm.shape[0]):
+        for hi in heads:
+            write_ply_box_heatmap(
+                os.path.join(out_dir, f"{oi}_{hi}.ply"), corners, hm[oi, hi]
+            )
+
+
 def dump_scene(
     out_prefix: str,
     point_cloud: np.ndarray,  # (N, >=3)
