@@ -86,23 +86,31 @@ def _grouped_row_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
     if g == b and b * n >= _FAST_GATHER_MAX_ROWS:
         g = 1
     offs = (jnp.arange(g, dtype=idx.dtype) * n)[:, None, None]
-    outs = []
-    for j in range(0, b, g):
-        tbl = jax.lax.optimization_barrier(
-            points[j : j + g].reshape(g * n, c)
-        )
-        gi = (idx[j : j + g] + offs).reshape(-1)
+
+    def take_spans(tbl, gi):
+        tbl = jax.lax.optimization_barrier(tbl)
         if c <= 128:
-            outs.append(jnp.take(tbl, gi, axis=0))
-        else:
-            # rows crossing one 128-lane tile gather ~3x slower per row
-            # regardless of width; gather 128-lane spans separately
-            spans = [
-                jnp.take(tbl[:, s : s + 128], gi, axis=0)
-                for s in range(0, c, 128)
-            ]
-            outs.append(jnp.concatenate(spans, axis=-1))
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+            return jnp.take(tbl, gi, axis=0)
+        # rows crossing one 128-lane tile gather ~3x slower per row
+        # regardless of width; gather 128-lane spans separately
+        spans = [
+            jnp.take(tbl[:, s : s + 128], gi, axis=0)
+            for s in range(0, c, 128)
+        ]
+        return jnp.concatenate(spans, axis=-1)
+
+    if g == b:
+        out = take_spans(
+            points.reshape(b * n, c), (idx + offs[:b]).reshape(-1)
+        )
+    else:
+        # lax.map keeps every group's gather on the identical (fast-path)
+        # code path; an unrolled loop left later groups ~7x slower
+        xg = points.reshape(b // g, g * n, c)
+        ig = (
+            idx.reshape(b // g, g, m, k) + offs[None]
+        ).reshape(b // g, g * m * k)
+        out = jax.lax.map(lambda args: take_spans(*args), (xg, ig))
     return out.reshape(b, m, k, c)
 
 
