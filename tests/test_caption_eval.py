@@ -1,5 +1,6 @@
 """End-to-end caption-eval pipeline on synthetic scenes (tiny shapes)."""
 
+import pytest
 import numpy as np
 
 from vlp3d.data.dataset import BatchIterator
@@ -9,6 +10,7 @@ from vlp3d.eval.captioning import organize_scanrefer, prepare_corpus
 from vlp3d.train.solver import Solver
 
 
+@pytest.mark.slow
 def test_solver_caption_eval(tmp_path):
     config = tiny_config(no_caption=False)
     config = config.__class__(

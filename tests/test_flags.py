@@ -29,6 +29,7 @@ def run(config, *, reference=True, caption=False, epoch=60):
     return out, metrics
 
 
+@pytest.mark.slow
 def test_no_reference_detection_only():
     out, m = run(tiny_config(no_reference=True, use_con=False),
                  reference=False)

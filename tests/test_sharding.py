@@ -1,5 +1,6 @@
 """Multi-chip data-parallel train step on the virtual 8-device CPU mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,7 @@ from vlp3d.train.schedules import cosine_lr
 from vlp3d.train.state import create_state, make_train_step
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step():
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     mesh = make_mesh()

@@ -1,5 +1,6 @@
 """End-to-end tiny-train smoke: synthetic scenes -> solver -> checkpoints."""
 
+import pytest
 import os
 
 import numpy as np
@@ -9,6 +10,7 @@ from vlp3d.data.dataset import BatchIterator, collate
 from vlp3d.train.solver import Solver
 
 
+@pytest.mark.slow
 def test_solver_one_epoch(tmp_path):
     config = tiny_config()
     config = config.__class__(
@@ -68,6 +70,7 @@ def test_solver_one_epoch(tmp_path):
         assert json.load(f)["epoch"] == 0  # saved at the interrupted epoch
 
 
+@pytest.mark.slow
 def test_warm_start_staged_pipeline(tmp_path):
     """Stage 1 grounding pretrain -> snapshot -> stage 2 caption run
     warm-started with strict=False semantics (the reference's --pretrain
