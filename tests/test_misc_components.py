@@ -77,3 +77,29 @@ def test_detr_head():
     assert out["pred_center"].shape == (2, 16, 3)
     assert out["sem_cls_scores"].shape == (2, 16, 18)
     assert bool(jnp.isfinite(out["pred_size"]).all())
+    # deformable decoder refines per-layer positions (transformer3D.py:424)
+    assert out["transformer_weighted_xyz"].shape == (2, 16, 3)
+    assert out["transformer_weighted_xyz_all"].shape == (2, 2, 16, 3)
+    assert not np.allclose(
+        np.asarray(out["transformer_weighted_xyz"]),
+        np.asarray(out["aggregated_vote_xyz"]),
+    )
+    assert out["detr_features"].shape == (2, 16, 288)
+
+
+def test_idw_attention_mask():
+    """Nearest-5 inverse-distance weights, -1e9 elsewhere; rows of the
+    finite entries sum to 1 (transformer3D.py:305-316)."""
+    from vlp3d.models.proposal_detr import NEAR_KTH, idw_attention_mask
+
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.uniform(0, 4, (2, 32, 3)).astype(np.float32))
+    mask = np.asarray(idw_attention_mask(pos, pos))[:, 0]  # (2, 32, 32)
+    finite = mask > -1e8
+    assert (finite.sum(-1) == NEAR_KTH).all()
+    np.testing.assert_allclose(
+        np.where(finite, mask, 0.0).sum(-1), 1.0, rtol=1e-4
+    )
+    # self is always among the nearest (dist 0 -> weight max)
+    diag = mask[:, np.arange(32), np.arange(32)]
+    assert (diag > -1e8).all()
