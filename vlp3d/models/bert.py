@@ -75,6 +75,7 @@ class BertEmbeddings(nn.Module):
 
 class BertLayer(nn.Module):
     config: BertConfig
+    causal: bool = False  # decoder self-attention (xbert.py:883-918)
 
     @nn.compact
     def __call__(self, x, attention_mask, *, deterministic=True):
@@ -91,6 +92,9 @@ class BertLayer(nn.Module):
         v = v.reshape(b, s, h, dk).transpose(0, 2, 1, 3)
         att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(dk))
         att = att + (1.0 - attention_mask[:, None, None, :]) * -10000.0
+        if self.causal:
+            tri = jnp.tril(jnp.ones((s, s), jnp.float32))
+            att = att + (1.0 - tri)[None, None] * -10000.0
         att = jax.nn.softmax(att, axis=-1)
         att = nn.Dropout(c.attention_dropout)(att, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", att, v)
@@ -113,9 +117,11 @@ class BertLayer(nn.Module):
 class BertFusionLayer(nn.Module):
     """Encoder layer with cross-attention (the ALBEF-style fusion layers,
     xbert.py: layers [fusion_layer, num_hidden_layers) in 'fusion' /
-    'multi_modal' mode)."""
+    'multi_modal' mode). causal=True makes it a BertLMHeadModel-style
+    decoder layer."""
 
     config: BertConfig
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, attention_mask, encoder_states, encoder_mask=None,
@@ -125,7 +131,7 @@ class BertFusionLayer(nn.Module):
         dk = c.hidden_size // h
         b, s, _ = x.shape
 
-        x = BertLayer(self.config, name="self")(
+        x = BertLayer(self.config, causal=self.causal, name="self")(
             x, attention_mask, deterministic=deterministic
         )
         t = encoder_states.shape[1]
