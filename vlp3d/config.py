@@ -56,6 +56,10 @@ class ModelConfig:
     max_des_len: int = 30  # caption decode length (config_joint.py)
     fusion_layer: int = 6  # BERT text-mode depth
     use_distil: bool = False  # DistilBERT text encoder (--use_distil)
+    # compute dtype for the SA/FP MLP stacks ("float32" | "bfloat16");
+    # bf16 halves activation bandwidth; default f32 pending real-data
+    # accuracy validation
+    compute_dtype: str = "float32"
     num_answers: int = 8192
     # multiview feature channels inside point_clouds, consumed by the
     # relation module (relation_module.py:101-102)

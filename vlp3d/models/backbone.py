@@ -19,6 +19,7 @@ from vlp3d.models.layers import FPModule, SAModule
 class PointNet2Backbone(nn.Module):
     input_feature_dim: int = 0
     bn_momentum: float = 0.9
+    dtype: "jnp.dtype | None" = None  # MLP compute dtype
     # Reference geometry (backbone_module.py:29-63); shrink for tests.
     npoints: tuple = (2048, 1024, 512, 256)
     radii: tuple = (0.2, 0.4, 0.8, 1.2)
@@ -31,6 +32,7 @@ class PointNet2Backbone(nn.Module):
         Returns dict with sa*_xyz/features/inds and fp2_* seed outputs.
         """
         m = self.bn_momentum
+        dt = self.dtype
         xyz = point_clouds[..., :3]
         features = (
             point_clouds[..., 3:] if point_clouds.shape[-1] > 3 else None
@@ -38,23 +40,23 @@ class PointNet2Backbone(nn.Module):
 
         np_, r, ns = self.npoints, self.radii, self.nsamples
         sa1_xyz, sa1_f, sa1_inds = SAModule(
-            np_[0], r[0], ns[0], [64, 64, 128], bn_momentum=m, name="sa1",
+            np_[0], r[0], ns[0], [64, 64, 128], bn_momentum=m, name="sa1", dtype=dt,
             leaf_inputs=True,  # raw inputs: scatter-free backward
         )(xyz, features, train=train)
         sa2_xyz, sa2_f, sa2_inds = SAModule(
-            np_[1], r[1], ns[1], [128, 128, 256], bn_momentum=m, name="sa2"
+            np_[1], r[1], ns[1], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa2"
         )(sa1_xyz, sa1_f, train=train)
         sa3_xyz, sa3_f, sa3_inds = SAModule(
-            np_[2], r[2], ns[2], [128, 128, 256], bn_momentum=m, name="sa3"
+            np_[2], r[2], ns[2], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa3"
         )(sa2_xyz, sa2_f, train=train)
         sa4_xyz, sa4_f, sa4_inds = SAModule(
-            np_[3], r[3], ns[3], [128, 128, 256], bn_momentum=m, name="sa4"
+            np_[3], r[3], ns[3], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa4"
         )(sa3_xyz, sa3_f, train=train)
 
-        f = FPModule([256, 256], bn_momentum=m, name="fp1")(
+        f = FPModule([256, 256], bn_momentum=m, dtype=dt, name="fp1")(
             sa3_xyz, sa4_xyz, sa3_f, sa4_f, train=train
         )
-        f = FPModule([256, 256], bn_momentum=m, name="fp2")(
+        f = FPModule([256, 256], bn_momentum=m, dtype=dt, name="fp2")(
             sa2_xyz, sa3_xyz, sa2_f, f, train=train
         )
 

@@ -44,12 +44,19 @@ class JointNet(nn.Module):
     def setup(self):
         cfg = self.config.model
         ds = self.config.dataset
+        import jax.numpy as _jnp
+
         self.backbone_net = PointNet2Backbone(
             input_feature_dim=cfg.input_feature_dim,
             bn_momentum=self.bn_momentum,
             npoints=tuple(cfg.sa_npoints),
             radii=tuple(cfg.sa_radii),
             nsamples=tuple(cfg.sa_nsamples),
+            dtype=(
+                _jnp.bfloat16
+                if cfg.compute_dtype == "bfloat16"
+                else None
+            ),
         )
         if cfg.use_mlcv_net:
             from vlp3d.models.mlcvnet import MLCVVotingModule

@@ -25,24 +25,31 @@ class PointMLP(nn.Module):
     Equivalent to the reference SharedMLP (Conv2d k=1 + BN2d + ReLU,
     lib/pointnet2/pytorch_utils.py). BatchNorm statistics reduce over all
     leading axes, matching torch BN2d over (B, npoint, nsample).
+
+    dtype: compute dtype for the Dense/BN chain (params stay f32).
+    bfloat16 halves the HBM traffic of the (B, npoint, nsample, C)
+    activations; OFF by default pending real-data accuracy validation.
     """
 
     channels: Sequence[int]
     bn: bool = True
     bn_momentum: float = 0.9  # flax momentum = 1 - torch momentum
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        in_dtype = x.dtype
         for c in self.channels:
-            x = nn.Dense(c, use_bias=not self.bn)(x)
+            x = nn.Dense(c, use_bias=not self.bn, dtype=self.dtype)(x)
             if self.bn:
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=self.bn_momentum,
                     epsilon=1e-5,
+                    dtype=self.dtype,
                 )(x)
             x = nn.relu(x)
-        return x
+        return x.astype(in_dtype)
 
 
 class SAModule(nn.Module):
@@ -67,6 +74,7 @@ class SAModule(nn.Module):
     use_xyz: bool = True
     normalize_xyz: bool = True
     bn_momentum: float = 0.9
+    dtype: "jnp.dtype | None" = None  # compute dtype for the MLP stack
     fuse_first_layer: bool = True
     # Set when xyz/features are autodiff leaves (raw inputs): in training,
     # the neighbourhood gather then has NO backward scatter at all —
@@ -104,9 +112,9 @@ class SAModule(nn.Module):
                 use_xyz=self.use_xyz,
                 normalize_xyz=self.normalize_xyz,
             )  # (B, npoint, nsample, 3 + C)
-            out = PointMLP(self.mlp, bn_momentum=self.bn_momentum)(
-                grouped, train=train
-            )
+            out = PointMLP(
+                self.mlp, bn_momentum=self.bn_momentum, dtype=self.dtype
+            )(grouped, train=train)
             out = jnp.max(out, axis=2)
             return new_xyz, out, inds
 
@@ -148,9 +156,9 @@ class SAModule(nn.Module):
         )(x)
         x = nn.relu(x)
         if len(self.mlp) > 1:
-            x = PointMLP(self.mlp[1:], bn_momentum=self.bn_momentum)(
-                x, train=train
-            )
+            x = PointMLP(
+                self.mlp[1:], bn_momentum=self.bn_momentum, dtype=self.dtype
+            )(x, train=train)
         out = jnp.max(x, axis=2)
         return new_xyz, out, inds
 
@@ -161,6 +169,7 @@ class FPModule(nn.Module):
 
     mlp: Sequence[int]
     bn_momentum: float = 0.9
+    dtype: "jnp.dtype | None" = None
 
     @nn.compact
     def __call__(
@@ -175,9 +184,9 @@ class FPModule(nn.Module):
         interp = interpolate_features(unknown, known, known_feats)
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
-        return PointMLP(self.mlp, bn_momentum=self.bn_momentum)(
-            interp, train=train
-        )
+        return PointMLP(
+            self.mlp, bn_momentum=self.bn_momentum, dtype=self.dtype
+        )(interp, train=train)
 
 
 class PReLU(nn.Module):
