@@ -1,0 +1,223 @@
+"""Benchmark suite — the five configs from BASELINE.md.
+
+Each benchmark measures steady-state step time with the streaming-scan
+harness (loop-carried input perturbation defeats CSE hoisting; one
+dispatch amortizes the ~30ms axon relay cost) and prints one JSON line.
+
+Usage:
+  python benchmarks/run.py --bench sa_stack|detection|grounding|captioning|joint_train
+  python benchmarks/run.py --bench all
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 8
+NUM_POINTS = 40960
+REPS = 6
+
+
+def _steady_ms(step_fn, carry0=jnp.float32(0), reps=REPS):
+    """Wall-time one scan dispatch of `reps` sequential steps."""
+
+    @jax.jit
+    def run():
+        return jax.lax.scan(step_fn, carry0, None, length=reps)[0]
+
+    jax.block_until_ready(run())
+    t0 = time.perf_counter()
+    jax.block_until_ready(run())
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def _emit(name, ms, extra=None):
+    print(
+        json.dumps(
+            {
+                "benchmark": name,
+                "step_ms": round(ms, 2),
+                "scenes_per_sec_per_chip": round(BATCH / (ms / 1e3), 1),
+                "batch_size": BATCH,
+                "num_points": NUM_POINTS,
+                **(extra or {}),
+            }
+        )
+    )
+
+
+def _batch(config, istrain):
+    from vlp3d.data.synthetic import make_batch
+    from vlp3d.parallel.mesh import DEVICE_BATCH_KEYS
+
+    b = make_batch(
+        config, batch_size=BATCH, num_points=NUM_POINTS, istrain=istrain
+    )
+    return jax.device_put(
+        {k: v for k, v in b.items() if k in DEVICE_BATCH_KEYS}
+    )
+
+
+def bench_sa_stack():
+    """BASELINE.md #1: the PointNet++ SA stack (FPS + ball query +
+    grouping + MLPs) alone."""
+    from vlp3d.models.backbone import PointNet2Backbone
+
+    rng = np.random.default_rng(0)
+    pc = jax.device_put(
+        jnp.asarray(
+            rng.uniform(0, 5, (BATCH, NUM_POINTS, 3 + 132)).astype(np.float32)
+        )
+    )
+    net = PointNet2Backbone(input_feature_dim=132)
+    v = jax.jit(lambda x: net.init({"params": jax.random.key(0)}, x))(pc)
+
+    def step(c, _):
+        out = net.apply(v, pc.at[:, :, 0].add(c))
+        return c + 0.0 * out["fp2_features"][0, 0, 0], None
+
+    _emit("pointnet2_sa_stack", _steady_ms(step))
+
+
+def _jointnet(no_reference, no_caption, use_con, istrain):
+    from vlp3d.config import Config, DatasetConfig, ModelConfig
+    from vlp3d.models.jointnet import JointNet
+
+    config = Config(
+        dataset=DatasetConfig(),
+        model=ModelConfig(
+            no_reference=no_reference, no_caption=no_caption, use_con=use_con
+        ),
+    )
+    batch = _batch(config, istrain)
+    model = JointNet(config)
+    variables = jax.jit(
+        lambda b: model.init({"params": jax.random.key(0)}, b, train=False)
+    )(batch)
+    return config, model, variables, batch
+
+
+def bench_detection():
+    """BASELINE.md #2: VoteNet-style detection (votes -> proposals)."""
+    config, model, v, batch = _jointnet(True, True, False, 0)
+
+    def step(c, _):
+        b2 = dict(batch)
+        b2["point_clouds"] = batch["point_clouds"] + c
+        out = model.apply(v, b2, train=False)
+        return c + 0.0 * out["pred_center"][0, 0, 0], None
+
+    _emit("votenet_detection", _steady_ms(step))
+
+
+def bench_grounding():
+    """BASELINE.md #3: ScanRefer grounding end-to-end (the bench.py
+    flagship path)."""
+    config, model, v, batch = _jointnet(False, True, False, 0)
+
+    def step(c, _):
+        b2 = dict(batch)
+        b2["point_clouds"] = batch["point_clouds"] + c
+        out = model.apply(v, b2, train=False)
+        return c + 0.0 * out["cluster_ref"][0, 0], None
+
+    _emit("scanrefer_grounding", _steady_ms(step))
+
+
+def bench_captioning():
+    """BASELINE.md #4: dense captioning — proposals + greedy decode of a
+    caption per proposal (the eval_cap hot loop)."""
+    from vlp3d.models.caption import CaptionDecoder, greedy_decode
+
+    config, model, v, batch = _jointnet(False, False, False, 0)
+    decoder = CaptionDecoder(
+        vocab_size=config.model.vocab_size,
+        max_len=config.model.max_des_len + 2,
+    )
+    cap_vars = {"params": v["params"]["caption"]}
+
+    def step(c, _):
+        b2 = dict(batch)
+        b2["point_clouds"] = batch["point_clouds"] + c
+        out = model.apply(v, b2, train=False)
+        feats = out["aggregated_vote_features"]
+        b, k, ch = feats.shape
+        ys = greedy_decode(
+            decoder, cap_vars, (feats * 2.0).reshape(b * k, 1, ch),
+            config.model.max_des_len,
+        )
+        return c + 0.0 * ys[0, 0].astype(jnp.float32), None
+
+    ms = _steady_ms(step, reps=2)
+    _emit("scan2cap_captioning", ms, {"captions_per_step": 8 * 256})
+
+
+def bench_joint_train():
+    """BASELINE.md #5: full joint pretrain step (OID + OCC/OSC + backward
+    + AdamW)."""
+    from vlp3d.config import Config, DatasetConfig, ModelConfig
+    from vlp3d.models.jointnet import JointNet
+    from vlp3d.train.optimizer import make_optimizer
+    from vlp3d.train.schedules import cosine_lr
+    from vlp3d.train.state import create_state, make_train_step
+
+    config = Config(
+        dataset=DatasetConfig(),
+        model=ModelConfig(use_con=True, no_caption=True),
+    )
+    batch = _batch(config, 1)
+    model = JointNet(config)
+    opt = make_optimizer(
+        lr_schedule=lambda e: cosine_lr(e, 1.0, 200), steps_per_epoch=100
+    )
+    state = create_state(model, opt, batch)
+    train_step = make_train_step(model, config, opt, caption=False)
+    rng = jax.random.key(0)
+
+    @jax.jit
+    def run(state):
+        def body(s, i):
+            return train_step(s, batch, jax.random.fold_in(rng, i))
+        s, ms = jax.lax.scan(body, state, jnp.arange(REPS))
+        return s, ms["loss"]
+
+    s2, losses = run(state)
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    s2, losses = run(s2)
+    jax.block_until_ready(losses)
+    ms = (time.perf_counter() - t0) / REPS * 1e3
+    _emit("joint_pretrain_train_step", ms,
+          {"loss_finite": bool(jnp.isfinite(losses).all())})
+
+
+BENCHES = {
+    "sa_stack": bench_sa_stack,
+    "detection": bench_detection,
+    "grounding": bench_grounding,
+    "captioning": bench_captioning,
+    "joint_train": bench_joint_train,
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bench", default="all", choices=[*BENCHES, "all"])
+    args = p.parse_args()
+    names = list(BENCHES) if args.bench == "all" else [args.bench]
+    for n in names:
+        BENCHES[n]()
+
+
+if __name__ == "__main__":
+    main()
