@@ -28,16 +28,22 @@ NUM_POINTS = 40960
 REPS = 6
 
 
-def _steady_ms(step_fn, carry0=jnp.float32(0), reps=REPS):
-    """Wall-time one scan dispatch of `reps` sequential steps."""
+def _steady_ms(step_fn, *operands, reps=REPS):
+    """Wall-time one scan dispatch of `reps` sequential steps.
+
+    operands are passed as jit ARGUMENTS — closing over device arrays
+    would embed them as HLO literals and blow the remote-compile request
+    limit (HTTP 413) at 177MB batches."""
 
     @jax.jit
-    def run():
-        return jax.lax.scan(step_fn, carry0, None, length=reps)[0]
+    def run(*ops):
+        return jax.lax.scan(
+            lambda c, _: step_fn(c, *ops), jnp.float32(0), None, length=reps
+        )[0]
 
-    jax.block_until_ready(run())
+    jax.block_until_ready(run(*operands))
     t0 = time.perf_counter()
-    jax.block_until_ready(run())
+    jax.block_until_ready(run(*operands))
     return (time.perf_counter() - t0) / reps * 1e3
 
 
@@ -82,11 +88,11 @@ def bench_sa_stack():
     net = PointNet2Backbone(input_feature_dim=132)
     v = jax.jit(lambda x: net.init({"params": jax.random.key(0)}, x))(pc)
 
-    def step(c, _):
+    def step(c, v, pc):
         out = net.apply(v, pc.at[:, :, 0].add(c))
         return c + 0.0 * out["fp2_features"][0, 0, 0], None
 
-    _emit("pointnet2_sa_stack", _steady_ms(step))
+    _emit("pointnet2_sa_stack", _steady_ms(step, v, pc))
 
 
 def _jointnet(no_reference, no_caption, use_con, istrain):
@@ -111,13 +117,13 @@ def bench_detection():
     """BASELINE.md #2: VoteNet-style detection (votes -> proposals)."""
     config, model, v, batch = _jointnet(True, True, False, 0)
 
-    def step(c, _):
+    def step(c, v, batch):
         b2 = dict(batch)
         b2["point_clouds"] = batch["point_clouds"] + c
         out = model.apply(v, b2, train=False)
         return c + 0.0 * out["pred_center"][0, 0, 0], None
 
-    _emit("votenet_detection", _steady_ms(step))
+    _emit("votenet_detection", _steady_ms(step, v, batch))
 
 
 def bench_grounding():
@@ -125,13 +131,13 @@ def bench_grounding():
     flagship path)."""
     config, model, v, batch = _jointnet(False, True, False, 0)
 
-    def step(c, _):
+    def step(c, v, batch):
         b2 = dict(batch)
         b2["point_clouds"] = batch["point_clouds"] + c
         out = model.apply(v, b2, train=False)
         return c + 0.0 * out["cluster_ref"][0, 0], None
 
-    _emit("scanrefer_grounding", _steady_ms(step))
+    _emit("scanrefer_grounding", _steady_ms(step, v, batch))
 
 
 def bench_captioning():
@@ -146,7 +152,7 @@ def bench_captioning():
     )
     cap_vars = {"params": v["params"]["caption"]}
 
-    def step(c, _):
+    def step(c, v, batch, cap_vars):
         b2 = dict(batch)
         b2["point_clouds"] = batch["point_clouds"] + c
         out = model.apply(v, b2, train=False)
@@ -158,7 +164,7 @@ def bench_captioning():
         )
         return c + 0.0 * ys[0, 0].astype(jnp.float32), None
 
-    ms = _steady_ms(step, reps=2)
+    ms = _steady_ms(step, v, batch, cap_vars, reps=2)
     _emit("scan2cap_captioning", ms, {"captions_per_step": 8 * 256})
 
 
@@ -185,16 +191,16 @@ def bench_joint_train():
     rng = jax.random.key(0)
 
     @jax.jit
-    def run(state):
+    def run(state, batch):
         def body(s, i):
             return train_step(s, batch, jax.random.fold_in(rng, i))
         s, ms = jax.lax.scan(body, state, jnp.arange(REPS))
         return s, ms["loss"]
 
-    s2, losses = run(state)
+    s2, losses = run(state, batch)
     jax.block_until_ready(losses)
     t0 = time.perf_counter()
-    s2, losses = run(s2)
+    s2, losses = run(s2, batch)
     jax.block_until_ready(losses)
     ms = (time.perf_counter() - t0) / REPS * 1e3
     _emit("joint_pretrain_train_step", ms,

@@ -74,3 +74,19 @@ def test_use_distil_text_encoder():
     out, m = run(tiny_config(use_distil=True, use_con=False))
     assert out["lang_fea"].shape[-1] == 128
     assert np.isfinite(float(m["ref_loss"]))
+
+
+def test_caption_with_long_bert_sequences():
+    """Canonical configs have bert_seq_len (50) > max_des_len+2 (32); the
+    captioner must truncate to the des cap instead of overrunning its
+    positional table (latent until benchmarks ran full shapes)."""
+    cfg = tiny_config(no_caption=False, use_con=False, use_mlm=True)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, bert_seq_len=20, max_des_len=8)
+    )
+    out, m = run(cfg, caption=True)
+    # predictions cover exactly the des window (t_cap - 1 shifted targets)
+    assert out["lang_cap"].shape[1] == 8 + 2 - 1
+    assert np.isfinite(float(m["cap_loss"]))

@@ -79,7 +79,11 @@ class TestJointNetForward:
         b, l = 2, config.model.lang_num_max
         t = config.model.bert_seq_len
         k = config.model.num_proposal
-        assert out["lang_cap"].shape == (b * l, t - 1, config.model.vocab_size)
+        # captioner consumes des sequences capped at max_des_len+2
+        t_cap = min(t, config.model.max_des_len + 2)
+        assert out["lang_cap"].shape == (
+            b * l, t_cap - 1, config.model.vocab_size
+        )
         assert out["answer_scores"].shape == (b * l, config.model.num_answers)
         assert out["lang_mlm"].shape == (b * l, t - 1, config.model.vocab_size)
         loss, metrics = compute_joint_loss(config, out, batch, caption=True)

@@ -234,7 +234,11 @@ class JointNet(nn.Module):
             batch["ref_center_label_list"][..., 0:3],
             l,
         )
-        seq = ids.reshape(b * l, t)[:, :-1]
+        # the captioner consumes des sequences capped at MAX_DES_LEN+2
+        # (transformer_captioner.py trains on 32-token des ids, not the
+        # 50-token BERT inputs); tokens beyond the cap are truncated
+        t_cap = min(t, cfg.max_des_len + 2)
+        seq = ids.reshape(b * l, t)[:, :t_cap][:, :-1]
         if train:
             seq, _ = mask_caption_tokens(
                 self.make_rng("aug"), seq, cfg.vocab_size

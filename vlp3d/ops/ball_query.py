@@ -96,10 +96,17 @@ def _ball_query_chunk(centers, xyz, radius, nsample):
         block_start.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)  # (B, C, S)
-    local_cum = jnp.cumsum(
-        rows_mask.astype(jnp.int32), axis=-1
-    )  # inclusive, 128 lanes
-    t_local = targets[None, None, :] - start_sel
+    # inclusive 128-lane cumsum as a triangular-ones matmul on the MXU
+    # (exact: 0/1 inputs, counts <= 128; the int32 lane cumsum lowering
+    # was ~2x slower)
+    tril = jnp.tril(jnp.ones((blk, blk), jnp.bfloat16)).T
+    local_cum = jnp.einsum(
+        "bcsk,kl->bcsl",
+        rows_mask.astype(jnp.bfloat16),
+        tril,
+        preferred_element_type=jnp.float32,
+    )
+    t_local = (targets[None, None, :] - start_sel).astype(jnp.float32)
     within = jnp.sum(
         (local_cum < t_local[..., None]).astype(jnp.int32), axis=-1
     )  # (B, C, S)
