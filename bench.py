@@ -26,6 +26,10 @@ import time
 import jax
 import numpy as np
 
+from vlp3d.utils.jitcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from vlp3d.config import Config, DatasetConfig, ModelConfig
 from vlp3d.data.synthetic import make_batch
 from vlp3d.models.jointnet import JointNet

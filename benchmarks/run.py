@@ -23,6 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vlp3d.utils.jitcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 BATCH = 8
 NUM_POINTS = 40960
 REPS = 6

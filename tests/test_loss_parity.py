@@ -249,3 +249,50 @@ def test_vote_loss_parity(rng):
             msum += 1
     want = total / (msum + 1e-6)
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_ranking_loss_variants_parity(rng):
+    """Focal/sigmoid ranking variants vs transcriptions of loss.py:20-98."""
+    from vlp3d.losses.grounding import (
+        sigmoid_ranking_focal_loss,
+        sigmoid_ranking_loss,
+        softmax_ranking_focal_loss,
+    )
+
+    x = rng.normal(size=(6, 16)).astype(np.float32)
+    t = (rng.uniform(size=(6, 16)) < 0.2).astype(np.float32)
+    t[:, 0] = 1.0  # every row has a positive
+    mask = (rng.uniform(size=(6,)) < 0.7).astype(np.float32)
+
+    # SoftmaxRankingFocalLoss (loss.py:32-51), alpha=ones, gamma=2
+    probs = np_softmax(x + 1e-8)
+    p = (probs * t).sum(-1)
+    a = t.sum(-1)  # ones[cls] dotted with targets
+    per_row = -a * (1 - p) ** 2 * np.log(p + 1e-8)
+    np.testing.assert_allclose(
+        float(softmax_ranking_focal_loss(jnp.asarray(x), jnp.asarray(t))),
+        per_row.mean(), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(softmax_ranking_focal_loss(
+            jnp.asarray(x), jnp.asarray(t), mask=jnp.asarray(mask))),
+        (per_row * mask).sum() / (mask.sum() + 1e-8), rtol=1e-5)
+
+    # SigmoidRankingLoss (loss.py:58-70)
+    s = 1 / (1 + np.exp(-x))
+    bce = -np.log(s + 1e-8) * t - np.log(1 - s + 1e-8) * (1 - t)
+    np.testing.assert_allclose(
+        float(sigmoid_ranking_loss(jnp.asarray(x), jnp.asarray(t))),
+        bce.mean(), rtol=1e-5)
+
+    # SigmoidRankingFocalLoss (loss.py:84-98), alpha=(1,1), gamma=2
+    pos = -((1 - s) ** 2) * np.log(s + 1e-8) * t
+    neg = -(s ** 2) * np.log(1 - s + 1e-8) * (1 - t)
+    focal = pos + neg
+    np.testing.assert_allclose(
+        float(sigmoid_ranking_focal_loss(jnp.asarray(x), jnp.asarray(t))),
+        focal.mean(), rtol=1e-5)
+    m2 = (rng.uniform(size=x.shape) < 0.5).astype(np.float32)
+    np.testing.assert_allclose(
+        float(sigmoid_ranking_focal_loss(
+            jnp.asarray(x), jnp.asarray(t), mask=jnp.asarray(m2))),
+        (focal * m2).sum() / (m2.sum() + 1e-8), rtol=1e-5)

@@ -121,6 +121,10 @@ def resolve_config(args) -> Config:
     """config_from_args, or the tiny synthetic config when --smoke."""
     import dataclasses
 
+    from vlp3d.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if getattr(args, "smoke", False):
         from vlp3d.data.synthetic import tiny_config
 

@@ -35,6 +35,56 @@ def softmax_ranking_loss(inputs, targets, row_mask):
     )
 
 
+def softmax_ranking_focal_loss(inputs, targets, mask=None, gamma=2.0,
+                               alpha=None):
+    """Focal softmax ranking (loss.py:20-51): the target-weighted softmax
+    probability p gets the focal factor alpha*(1-p)^gamma before -log(p).
+
+    `alpha` is a per-class weight vector broadcast over the last axis
+    (defaults to ones, as the reference's class_num=10000 ones tensor);
+    with `mask` the reduction is sum(loss*mask)/(sum(mask)+1e-8), else a
+    plain mean over all rows.
+    """
+    probs = jax.nn.softmax(inputs + 1e-8, axis=-1)
+    if alpha is None:
+        a = jnp.sum(targets, axis=-1)  # ones[cls] weighted by targets
+    else:
+        a = jnp.sum(targets * alpha[..., : targets.shape[-1]], axis=-1)
+    p = jnp.sum(probs * targets, axis=-1)
+    loss = -a * (1.0 - p) ** gamma * jnp.log(p + 1e-8)
+    if mask is None:
+        return jnp.mean(loss)
+    return jnp.sum(loss * mask) / (jnp.sum(mask) + 1e-8)
+
+
+def sigmoid_ranking_loss(inputs, targets):
+    """Element-wise BCE on sigmoid(inputs) with the reference's explicit
+    +1e-8 epsilons, mean over all elements (loss.py:54-70)."""
+    probs = jax.nn.sigmoid(inputs)
+    loss = -jnp.log(probs + 1e-8) * targets - jnp.log(1.0 - probs + 1e-8) * (
+        1.0 - targets
+    )
+    return jnp.mean(loss)
+
+
+def sigmoid_ranking_focal_loss(inputs, targets, mask=None, gamma=2.0,
+                               alpha=(1.0, 1.0)):
+    """Focal BCE (loss.py:72-98): alpha = (negative, positive) weights;
+    masked reduction sum(loss*mask)/(sum(mask)+1e-8) when mask given."""
+    probs = jax.nn.sigmoid(inputs)
+    pos = -alpha[1] * (1.0 - probs) ** gamma * jnp.log(probs + 1e-8) * targets
+    neg = (
+        -alpha[0]
+        * probs**gamma
+        * jnp.log(1.0 - probs + 1e-8)
+        * (1.0 - targets)
+    )
+    loss = pos + neg
+    if mask is None:
+        return jnp.mean(loss)
+    return jnp.sum(loss * mask) / (jnp.sum(mask) + 1e-8)
+
+
 def compute_diou_loss(
     *,
     pred_center: jax.Array,  # (B, K, 3)
