@@ -296,3 +296,69 @@ def test_ranking_loss_variants_parity(rng):
         float(sigmoid_ranking_focal_loss(
             jnp.asarray(x), jnp.asarray(t), mask=jnp.asarray(m2))),
         (focal * m2).sum() / (m2.sum() + 1e-8), rtol=1e-5)
+
+
+def test_debug_diagnostics_parity(rng):
+    """--debug diagnostics vs a loop transcription of
+    loss_grounding.py:262-306, 327-345."""
+    from vlp3d.losses.grounding import compute_debug_diagnostics
+
+    b, l, k, nc = 3, 4, 32, 18
+    ious = rng.uniform(size=(b, l, k)).astype(np.float32)
+    preds = rng.normal(size=(b * l, k)).astype(np.float32)
+    object_cat = rng.integers(0, nc, (b, l))
+    gt_size = rng.uniform(0.2, 2.0, (b, l, 3)).astype(np.float32)
+    lang_num = np.array([4, 2, 3])
+
+    got = {
+        kk: np.asarray(v)
+        for kk, v in compute_debug_diagnostics(
+            ious=jnp.asarray(ious),
+            cluster_ref=jnp.asarray(preds),
+            object_cat=jnp.asarray(object_cat),
+            gt_size=jnp.asarray(gt_size),
+            lang_num=jnp.asarray(lang_num),
+            num_class=nc,
+        ).items()
+    }
+
+    total = lang_num.sum()
+    top_iou = np.zeros(5)
+    pred25, pred5 = [], []
+    class_iou = np.zeros(nc)
+    class_size = np.zeros(nc)
+    class_cnt = np.zeros(nc)
+    top_ind = []
+    cl_preds = preds.reshape(b, l, k)
+    for i in range(b):
+        ranks = []
+        for j in range(lang_num[i]):
+            s = np.sort(ious[i, j])
+            top_iou += s[-5:]
+            pred25.append((ious[i, j] >= 0.25).mean())
+            pred5.append((ious[i, j] >= 0.5).mean())
+            ci = cl_preds[i, j].argmax()
+            class_iou[object_cat[i, j]] += ious[i, j, ci]
+            class_size[object_cat[i, j]] += np.prod(gt_size[i, j])
+            class_cnt[object_cat[i, j]] += 1
+            ranks.append(np.argsort(ious[i, j]).tolist().index(ci))
+        top_ind.append(np.mean(ranks))
+    class_cnt[class_cnt == 0] += 1
+    class_iou /= class_cnt
+    class_size /= class_cnt
+
+    for kk in range(1, 6):
+        np.testing.assert_allclose(
+            got[f"top_iou_rate_{kk}"], top_iou[5 - kk] / total, rtol=1e-5)
+    np.testing.assert_allclose(got["pred_iou_rate_0.25"], np.mean(pred25),
+                               rtol=1e-5)
+    np.testing.assert_allclose(got["pred_iou_rate_0.5"], np.mean(pred5),
+                               rtol=1e-5)
+    from vlp3d.config import SCANNET_TYPES
+    for i, name in enumerate(SCANNET_TYPES):
+        np.testing.assert_allclose(got[f"class_iou_rate_{name}"],
+                                   class_iou[i], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(got[f"class_size_{name}"],
+                                   class_size[i], rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(got["top_ind"], np.mean(top_ind) + 1,
+                               rtol=1e-5)

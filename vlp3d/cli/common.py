@@ -106,6 +106,7 @@ def config_from_args(args) -> Config:
         loss=LossConfig(
             use_diou_loss=args.use_diou_loss,
             use_attr_loss=args.use_attr_loss,
+            debug=args.debug,
         ),
         train=TrainConfig(
             batch_size=args.batch_size,

@@ -100,6 +100,9 @@ class LossConfig:
     num_ground_epoch: int = 50
     use_diou_loss: bool = True
     use_attr_loss: bool = False
+    # --debug diagnostics inside the OID loss (per-class IoU rates,
+    # top-k IoU stats, top_ind; loss_grounding.py:262-306)
+    debug: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -220,6 +220,89 @@ def compute_lang_classification_loss(
     return jnp.mean(per_batch)
 
 
+def compute_debug_diagnostics(
+    *,
+    ious: jax.Array,  # (B, L, K) raw (unmasked) per-sentence proposal IoUs
+    cluster_ref: jax.Array,  # (B*L, K) grounding confidences
+    object_cat: jax.Array,  # (B, L) i32 GT object categories
+    gt_size: jax.Array,  # (B, L, 3) per-sentence GT box sizes
+    lang_num: jax.Array,  # (B,)
+    num_class: int = 18,
+):
+    """Vectorized `--debug` diagnostics of the reference's OID loop
+    (loss_grounding.py:262-306, 327-345):
+
+      * top_iou_rate_k (k=1..5): mean k-th-largest raw IoU per sentence
+        (`top_iou_rate += sort_ious[-5:]` then `/ sum(lang_num)`);
+      * pred_iou_rate_0.25/0.5: mean fraction of proposals above the
+        threshold per sentence;
+      * class_iou_rate_c / class_size_c: per GT class, mean IoU of the
+        PREDICTED proposal (raw argmax of cluster_ref — not the
+        objectness-masked argmax eval uses) and mean GT box volume,
+        zero-count classes clamped (`class_cnt[class_cnt==0]+=1`);
+      * top_ind: per-scene mean ascending-sort rank of the predicted
+        proposal, averaged over scenes, +1. Float IoUs are assumed
+        tie-free (rank = #proposals with strictly smaller IoU — matches
+        torch.argsort position up to tie order).
+    """
+    b, l, k = ious.shape
+    lang_mask = (
+        jnp.arange(l)[None, :] < lang_num[:, None]
+    ).astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(lang_num).astype(jnp.float32), 1.0)
+
+    out = {}
+    top5 = jax.lax.top_k(ious, 5)[0]  # (B, L, 5) descending
+    top_sums = jnp.sum(top5 * lang_mask[..., None], axis=(0, 1))  # (5,)
+    for i in range(1, 6):
+        out[f"top_iou_rate_{i}"] = top_sums[i - 1] / total
+
+    for thr, key in ((0.25, "pred_iou_rate_0.25"), (0.5, "pred_iou_rate_0.5")):
+        frac = jnp.mean((ious >= thr).astype(jnp.float32), axis=-1)
+        out[key] = jnp.sum(frac * lang_mask) / total
+
+    preds = cluster_ref.reshape(b, l, k)
+    pred_ind = jnp.argmax(preds, axis=-1)  # (B, L) raw argmax
+    chosen_iou = jnp.take_along_axis(ious, pred_ind[..., None], axis=-1)[
+        ..., 0
+    ]  # (B, L)
+
+    flat_cat = object_cat.reshape(-1)
+    flat_mask = lang_mask.reshape(-1)
+    cnt = jax.ops.segment_sum(flat_mask, flat_cat, num_segments=num_class)
+    cnt = jnp.maximum(cnt, 1.0)  # class_cnt[class_cnt==0]+=1
+    iou_sum = jax.ops.segment_sum(
+        (chosen_iou * lang_mask).reshape(-1), flat_cat, num_segments=num_class
+    )
+    vol = jnp.prod(gt_size, axis=-1)  # (B, L)
+    vol_sum = jax.ops.segment_sum(
+        (vol * lang_mask).reshape(-1), flat_cat, num_segments=num_class
+    )
+    # per-class scalar series named like the reference's
+    # f"class_iou_rate_{type2class[i]}" TB keys (solver_3dvlp.py:435-436)
+    from vlp3d.config import SCANNET_TYPES
+
+    class_iou = iou_sum / cnt  # (num_class,)
+    class_size = vol_sum / cnt
+    names = (
+        SCANNET_TYPES
+        if num_class == len(SCANNET_TYPES)
+        else [str(i) for i in range(num_class)]
+    )
+    for i, name in enumerate(names):
+        out[f"class_iou_rate_{name}"] = class_iou[i]
+        out[f"class_size_{name}"] = class_size[i]
+
+    rank = jnp.sum(
+        (ious < chosen_iou[..., None]).astype(jnp.float32), axis=-1
+    )  # ascending-sort position
+    per_scene = jnp.sum(rank * lang_mask, axis=1) / jnp.maximum(
+        lang_num.astype(jnp.float32), 1.0
+    )
+    out["top_ind"] = jnp.mean(per_scene) + 1.0
+    return out
+
+
 def compute_attr_loss(
     vote_xyz: jax.Array,  # (B, S, 3)
     seed_inds: jax.Array,  # (B, S)

@@ -30,6 +30,7 @@ from vlp3d.losses.detection import (
 )
 from vlp3d.losses.grounding import (
     compute_attr_loss,
+    compute_debug_diagnostics,
     compute_diou_loss,
     compute_lang_classification_loss,
     compute_vote_weight_loss,
@@ -134,6 +135,16 @@ def compute_joint_loss(
         m["cluster_labels"] = diou["cluster_labels"]
         m["max_iou_rate_0.25"] = diou["max_iou_rate_0.25"]
         m["max_iou_rate_0.5"] = diou["max_iou_rate_0.5"]
+        if cfg_l.debug:
+            m.update(
+                compute_debug_diagnostics(
+                    ious=diou["ious"],
+                    cluster_ref=outputs["cluster_ref"],
+                    object_cat=batch["object_cat_list"],
+                    gt_size=gt_size,
+                    lang_num=batch["lang_num"],
+                )
+            )
         ref_w = jnp.where(
             epoch < cfg_l.num_ground_epoch,
             cfg_l.ref_weight_before_50,

@@ -35,7 +35,7 @@ def make_sharded_contrastive_step(mesh: Mesh, loss_fn):
     each device computes logits against the all-gathered global
     embeddings. loss_fn receives (local_a, global_b) and returns a
     scalar; the result is psum-averaged over devices."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(
         shard_map,
