@@ -37,3 +37,22 @@ def test_scalar_events_roundtrip(tmp_path):
     assert {"val/iou_rate_0.5", "val/lang_acc"} <= tags
     vals = {t: v for _, t, v in scalars}
     np.testing.assert_allclose(vals["val/lang_acc"], 0.9, rtol=1e-6)
+
+
+def test_export_scalars_to_json(tmp_path):
+    """tensorboardX-style all_scalars.json export (solver_3dvlp.py:1242)."""
+    import json
+
+    from vlp3d.utils.tb_writer import SummaryWriter
+
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("loss", 1.5, 0)
+    w.add_scalar("loss", 1.2, 1)
+    w.add_scalar("acc", 0.7, 1)
+    path = w.export_scalars_to_json()
+    w.close()
+    with open(path) as f:
+        hist = json.load(f)
+    assert set(hist) == {"loss", "acc"}
+    assert [e[1:] for e in hist["loss"]] == [[0, 1.5], [1, 1.2]]
+    assert hist["acc"][0][1:] == [1, 0.7]

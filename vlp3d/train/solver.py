@@ -415,9 +415,27 @@ class Solver:
             self._log({"phase": "interrupt", "epoch": epoch})
             print(f"interrupted at epoch {epoch} — checkpoint saved to "
                   f"{self.workdir}")
+            self._finish()
             return self.best
         ckpt.save_checkpoint(self.workdir, self.state, self.best, epochs - 1)
+        self._finish()
         return self.best
+
+    def _finish(self) -> None:
+        """Best-metric report + all_scalars.json export (the reference's
+        _finish, solver_3dvlp.py:1221-1245; checkpoints are already saved
+        by the caller)."""
+        lines = ["best model at epoch %d" % self.best.get("epoch", 0)]
+        lines += [
+            f"  {k}: {v:.6f}" if isinstance(v, float) else f"  {k}: {v}"
+            for k, v in sorted(self.best.items())
+        ]
+        report = "\n".join(lines)
+        with open(os.path.join(self.workdir, "log.txt"), "a") as f:
+            f.write(report + "\n")
+        self._log({"phase": "best", **self.best})
+        self._tb_train.export_scalars_to_json()
+        self._tb_val.export_scalars_to_json()
 
     def warm_start(self, path: str) -> tuple[int, int]:
         """strict=False restore from a save_params snapshot into the live

@@ -97,12 +97,17 @@ class SummaryWriter:
 
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
+        self._logdir = logdir
         fname = "events.out.tfevents.%d.%s" % (
             int(time.time()),
             socket.gethostname(),
         )
         self._f = open(os.path.join(logdir, fname), "ab")
         self._write_record(_version_event(time.time()))
+        # scalar history for export_scalars_to_json (tensorboardX parity:
+        # the reference exports all_scalars.json at _finish,
+        # solver_3dvlp.py:1242-1245)
+        self._history: dict = {}
 
     def _write_record(self, data: bytes) -> None:
         header = struct.pack("<Q", len(data))
@@ -112,8 +117,10 @@ class SummaryWriter:
         self._f.write(struct.pack("<I", _masked_crc(data)))
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
-        self._write_record(
-            _scalar_event(tag, float(value), int(step), time.time())
+        wall = time.time()
+        self._write_record(_scalar_event(tag, float(value), int(step), wall))
+        self._history.setdefault(tag, []).append(
+            [wall, int(step), float(value)]
         )
 
     def add_scalars(self, scalars: dict, step: int, prefix: str = "") -> None:
@@ -122,6 +129,17 @@ class SummaryWriter:
 
     def flush(self) -> None:
         self._f.flush()
+
+    def export_scalars_to_json(self, path: str | None = None) -> str:
+        """Dump the full scalar history as tensorboardX-style
+        {tag: [[wall_time, step, value], ...]} json (the reference's
+        all_scalars.json export, solver_3dvlp.py:1242-1245)."""
+        import json
+
+        path = path or os.path.join(self._logdir, "all_scalars.json")
+        with open(path, "w") as f:
+            json.dump(self._history, f)
+        return path
 
     def close(self) -> None:
         self._f.close()
