@@ -45,3 +45,29 @@ def test_solver_caption_eval(tmp_path):
     for key in ("bleu-4", "cider", "rouge", "meteor"):
         assert key in result
         assert np.isfinite(result[key])
+
+
+def test_kv_cached_greedy_decode_matches_uncached():
+    """greedy_decode (KV cache) must reproduce the reference-shaped
+    full-redecode loop token for token."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlp3d.models.caption import (
+        CaptionDecoder,
+        greedy_decode,
+        greedy_decode_uncached,
+    )
+
+    dec = CaptionDecoder(vocab_size=211, n_layers=3, d_model=32, d_ff=64,
+                         heads=4, max_len=12)
+    obj = jax.random.normal(jax.random.key(1), (6, 1, 32))
+    variables = dec.init(
+        {"params": jax.random.key(0)}, obj,
+        jnp.zeros((6, 12), jnp.int32), None,
+    )
+    a = jax.jit(lambda v, o: greedy_decode_uncached(dec, v, o, 10))(
+        variables, obj
+    )
+    b = jax.jit(lambda v, o: greedy_decode(dec, v, o, 10))(variables, obj)
+    assert (jnp.asarray(a) == jnp.asarray(b)).all(), (a, b)
