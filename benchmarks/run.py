@@ -37,18 +37,35 @@ def _steady_ms(step_fn, *operands, reps=REPS):
 
     operands are passed as jit ARGUMENTS — closing over device arrays
     would embed them as HLO literals and blow the remote-compile request
-    limit (HTTP 413) at 177MB batches."""
+    limit (HTTP 413) at 177MB batches.
+
+    Two relay pitfalls this harness defends against (measured, PERF.md
+    "Benchmark integrity"):
+      * `jax.block_until_ready` does NOT block on the axon backend —
+        dispatch returns in ~1-2 ms while the device runs; only VALUE
+        materialization (float()/np.asarray) waits for completion. Time
+        to materialization, and assert the result exceeds the ~30 ms
+        relay floor.
+      * each timed call gets a DISTINCT seed argument mixed into the
+        loop carry, and the carry feedback must be large enough not to
+        round away (1e-12 of the consumed sum) — otherwise the whole
+        scan body is identical work XLA/the relay may elide."""
 
     @jax.jit
-    def run(*ops):
+    def run(seed, *ops):
         return jax.lax.scan(
-            lambda c, _: step_fn(c, *ops), jnp.float32(0), None, length=reps
+            lambda c, _: step_fn(c, *ops), seed * 1e-6, None, length=reps
         )[0]
 
-    jax.block_until_ready(run(*operands))
+    float(run(jnp.float32(0), *operands))  # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(run(*operands))
-    return (time.perf_counter() - t0) / reps * 1e3
+    float(run(jnp.float32(1), *operands))  # materialization = completion
+    wall = (time.perf_counter() - t0) * 1e3
+    assert wall > 5.0, (
+        f"benchmark returned in {wall:.3f} ms — below the relay dispatch "
+        "floor, so no device work was measured"
+    )
+    return wall / reps
 
 
 def _emit(name, ms, extra=None):
@@ -96,7 +113,7 @@ def bench_sa_stack():
         out = net.apply(v, pc.at[:, :, 0].add(c))
         # consume the FULL output: feeding one element back lets XLA
         # dead-code-slice the rest of the stack (measured 0.05 ms "steps")
-        return c + 0.0 * jnp.sum(out["fp2_features"]), None
+        return c + 1e-12 * jnp.sum(out["fp2_features"]), None
 
     _emit("pointnet2_sa_stack", _steady_ms(step, v, pc))
 
@@ -131,7 +148,7 @@ def bench_detection():
             jnp.sum(out["pred_center"]) + jnp.sum(out["pred_size"])
             + jnp.sum(out["objectness_scores"])
         )
-        return c + 0.0 * consumed, None
+        return c + 1e-12 * consumed, None
 
     _emit("votenet_detection", _steady_ms(step, v, batch))
 
@@ -146,7 +163,7 @@ def bench_grounding():
         b2["point_clouds"] = batch["point_clouds"] + c
         out = model.apply(v, b2, train=False)
         consumed = jnp.sum(out["cluster_ref"]) + jnp.sum(out["pred_center"])
-        return c + 0.0 * consumed, None
+        return c + 1e-12 * consumed, None
 
     _emit("scanrefer_grounding", _steady_ms(step, v, batch))
 
@@ -173,7 +190,7 @@ def bench_captioning():
             decoder, cap_vars, (feats * 2.0).reshape(b * k, 1, ch),
             config.model.max_des_len,
         )
-        return c + 0.0 * jnp.sum(ys.astype(jnp.float32)), None
+        return c + 1e-12 * jnp.sum(ys.astype(jnp.float32)), None
 
     ms = _steady_ms(step, v, batch, cap_vars, reps=2)
     _emit("scan2cap_captioning", ms, {"captions_per_step": 8 * 256})
@@ -209,11 +226,12 @@ def bench_joint_train():
         return s, ms["loss"]
 
     s2, losses = run(state, batch)
-    jax.block_until_ready(losses)
+    float(losses.sum())  # materialization = completion (not block_until_ready)
     t0 = time.perf_counter()
     s2, losses = run(s2, batch)
-    jax.block_until_ready(losses)
+    float(losses.sum())
     ms = (time.perf_counter() - t0) / REPS * 1e3
+    assert ms * REPS > 5.0, "below relay dispatch floor — nothing measured"
     _emit("joint_pretrain_train_step", ms,
           {"loss_finite": bool(jnp.isfinite(losses).all())})
 

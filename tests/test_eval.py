@@ -80,3 +80,71 @@ class TestCaptionMetrics:
             if isinstance(g, list):
                 g, b_ = g[3], b_[3]
             assert g > b_, type(scorer).__name__
+
+
+def test_nms_2d_faster_parity():
+    """nms_2d_faster vs a direct transcription of utils/nms.py:41-73."""
+    from vlp3d.eval.detection import nms_2d_faster
+
+    rng = np.random.default_rng(7)
+    k = 40
+    xy = rng.uniform(0, 4, (k, 2))
+    wh = rng.uniform(0.3, 1.5, (k, 2))
+    boxes = np.concatenate(
+        [xy, xy + wh, rng.uniform(size=(k, 1))], axis=1
+    ).astype(np.float64)
+
+    def oracle(bxs, thr, old_type=False):
+        x1, y1, x2, y2, score = (bxs[:, i] for i in range(5))
+        area = (x2 - x1) * (y2 - y1)
+        I = np.argsort(score)
+        pick = []
+        while I.size != 0:
+            last = I.size
+            i = I[-1]
+            pick.append(i)
+            xx1 = np.maximum(x1[i], x1[I[: last - 1]])
+            yy1 = np.maximum(y1[i], y1[I[: last - 1]])
+            xx2 = np.minimum(x2[i], x2[I[: last - 1]])
+            yy2 = np.minimum(y2[i], y2[I[: last - 1]])
+            w = np.maximum(0, xx2 - xx1)
+            h = np.maximum(0, yy2 - yy1)
+            if old_type:
+                o = (w * h) / area[I[: last - 1]]
+            else:
+                inter = w * h
+                o = inter / (area[i] + area[I[: last - 1]] - inter)
+            I = np.delete(
+                I,
+                np.concatenate(
+                    ([last - 1], np.where(o > thr)[0])
+                ),
+            )
+        return pick
+
+    for thr in (0.1, 0.25, 0.5):
+        for old in (False, True):
+            assert nms_2d_faster(boxes, thr, old) == [
+                int(x) for x in oracle(boxes, thr, old)
+            ], (thr, old)
+
+
+def test_parse_predictions_2d_nms_branch(rng):
+    """use_3d_nms=False routes through the BEV 2D NMS path."""
+    from vlp3d.eval.detection import parse_predictions
+
+    b, k = 2, 12
+    outputs = {
+        "pred_center": rng.uniform(0, 4, (b, k, 3)),
+        "pred_size": rng.uniform(0.3, 1.0, (b, k, 3)),
+        "pred_heading": np.zeros((b, k)),
+        "objectness_scores": rng.normal(size=(b, k, 2)),
+        "sem_cls_scores": rng.normal(size=(b, k, 18)),
+        "point_clouds": rng.uniform(0, 4, (b, 2000, 3)),
+    }
+    mask, preds = parse_predictions(
+        outputs, {"use_3d_nms": False, "remove_empty_box": False}
+    )
+    assert mask.shape == (b, k)
+    assert mask.sum() > 0
+    assert len(preds) == b

@@ -53,6 +53,34 @@ def nms_3d_faster_samecls(boxes, overlap_threshold, old_type=False):
     return pick
 
 
+def nms_2d_faster(boxes, overlap_threshold, old_type=False):
+    """BEV 2D greedy NMS (utils/nms.py:41-73): boxes (K, 5) =
+    [x1, y1, x2, y2, score]; the reference's use_3d_nms=False path
+    (ap_helper_fcos.py:115-132)."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    score = boxes[:, 4]
+    area = (x2 - x1) * (y2 - y1)
+    order = np.argsort(score)
+    pick = []
+    while order.size:
+        i = order[-1]
+        pick.append(int(i))
+        rest = order[:-1]
+        w = np.maximum(
+            0, np.minimum(x2[i], x2[rest]) - np.maximum(x1[i], x1[rest])
+        )
+        h = np.maximum(
+            0, np.minimum(y2[i], y2[rest]) - np.maximum(y1[i], y1[rest])
+        )
+        inter = w * h
+        if old_type:
+            o = inter / area[rest]
+        else:
+            o = inter / (area[i] + area[rest] - inter)
+        order = rest[o <= overlap_threshold]
+    return pick
+
+
 def nms_3d_faster(boxes, overlap_threshold, old_type=False):
     """Class-agnostic variant (utils/nms.py:70-110)."""
     b = np.concatenate([boxes[:, :7], np.zeros((len(boxes), 1))], axis=1)
@@ -113,6 +141,20 @@ def parse_predictions(outputs: dict, config: dict, num_class: int = 18,
 
     pred_mask = np.zeros((b, k))
     for i in range(b):
+        idxs = np.where(nonempty[i])[0]
+        if len(idxs) == 0:
+            continue
+        if not cfg["use_3d_nms"]:
+            # BEV 2D NMS on xy footprints (ap_helper_fcos.py:115-132)
+            boxes = np.zeros((k, 5))
+            boxes[:, 0:2] = corners[i].min(1)[:, 0:2]
+            boxes[:, 2:4] = corners[i].max(1)[:, 0:2]
+            boxes[:, 4] = obj_prob[i]
+            pick = nms_2d_faster(
+                boxes[idxs], cfg["nms_iou"], cfg["use_old_type_nms"]
+            )
+            pred_mask[i, idxs[pick]] = 1
+            continue
         boxes = np.zeros((k, 8))
         boxes[:, 0:3] = corners[i].min(1)
         boxes[:, 3:6] = corners[i].max(1)
@@ -127,9 +169,6 @@ def parse_predictions(outputs: dict, config: dict, num_class: int = 18,
         else:
             boxes[:, 6] = obj_prob[i]
             nms_fn = nms_3d_faster
-        idxs = np.where(nonempty[i])[0]
-        if len(idxs) == 0:
-            continue
         pick = nms_fn(
             boxes[idxs], cfg["nms_iou"], cfg["use_old_type_nms"]
         )
