@@ -4,6 +4,8 @@ import glob
 import json
 import os
 
+import numpy as np
+
 import pytest
 
 
@@ -44,3 +46,27 @@ def test_visualizer_clis(tmp_path):
         data = json.load(f)
     for v in data.values():
         assert "description" in v and "object_name" in v
+
+
+def test_dump_detection_results(tmp_path, rng):
+    from vlp3d.utils.visualize import dump_detection_results
+
+    b, k, k2 = 2, 8, 12
+    outputs = {
+        "pred_center": rng.uniform(0, 4, (b, k, 3)),
+        "pred_size": rng.uniform(0.3, 1.0, (b, k, 3)),
+        "pred_heading": np.zeros((b, k)),
+        "objectness_scores": rng.normal(size=(b, k, 2)) * 3,
+        "sem_cls_scores": rng.normal(size=(b, k, 18)),
+        "objectness_label": (rng.uniform(size=(b, k)) < 0.5).astype(int),
+    }
+    batch = {
+        "center_label": rng.uniform(0, 4, (b, k2, 3)),
+        "box_label_mask": (rng.uniform(size=(b, k2)) < 0.7).astype(
+            np.float32
+        ),
+    }
+    dump_detection_results(outputs, batch, str(tmp_path))
+    names = os.listdir(tmp_path)
+    assert any(n.endswith("_gt_centroid_pc.ply") for n in names)
+    assert any("gt_positive_proposal" in n for n in names)

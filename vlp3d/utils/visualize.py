@@ -115,3 +115,73 @@ def dump_scene(
         write_obj_boxes(out_prefix + "_pred.obj", np.asarray(pred_corners))
     if gt_corners is not None and len(gt_corners):
         write_obj_boxes(out_prefix + "_gt.obj", np.asarray(gt_corners))
+
+
+def dump_detection_results(
+    outputs: dict,
+    batch: dict,
+    dump_dir: str,
+    *,
+    pred_mask: np.ndarray | None = None,
+    conf_thresh: float = 0.5,
+    inference: bool = False,
+):
+    """Detection-result PLY/OBJ dumps (models/mlcvnet/dump_helper.py):
+    per-sample confident(+NMS) predicted boxes grouped by semantic class,
+    GT boxes, and the positive/masked proposal-center point clouds.
+
+    outputs: numpy dict with pred_center/pred_size/pred_heading,
+    objectness_scores, sem_cls_scores (+ optional objectness_label/
+    objectness_mask); batch carries the GT label arrays.
+    """
+    import os
+
+    from vlp3d.eval.box_iou import get_3d_box
+
+    os.makedirs(dump_dir, exist_ok=True)
+    center = np.asarray(outputs["pred_center"])
+    size = np.asarray(outputs["pred_size"])
+    heading = np.asarray(outputs["pred_heading"])
+    obj = np.asarray(outputs["objectness_scores"])
+    obj_prob = np.exp(obj - obj.max(-1, keepdims=True))
+    obj_prob = (obj_prob / obj_prob.sum(-1, keepdims=True))[..., 1]
+    sem_cls = np.argmax(np.asarray(outputs["sem_cls_scores"]), -1)
+    b, k = center.shape[:2]
+    if pred_mask is None:
+        pred_mask = np.ones((b, k))
+
+    for i in range(b):
+        keep = (obj_prob[i] > conf_thresh) & (pred_mask[i] == 1)
+        for cls in np.unique(sem_cls[i][keep]) if keep.any() else []:
+            sel = keep & (sem_cls[i] == cls)
+            corners = np.stack(
+                [
+                    get_3d_box(size[i, j], float(heading[i, j]), center[i, j])
+                    for j in np.where(sel)[0]
+                ]
+            )
+            write_obj_boxes(
+                os.path.join(
+                    dump_dir, f"{i:06d}_pred_confident_nms_bbox_{int(cls)}.obj"
+                ),
+                corners,
+            )
+    if inference:
+        return
+
+    gt_center = np.asarray(batch["center_label"])[..., :3]
+    gt_mask = np.asarray(batch["box_label_mask"])
+    for i in range(b):
+        if "objectness_label" in outputs:
+            lab = np.asarray(outputs["objectness_label"])[i] > 0
+            if lab.any():
+                write_ply_points(
+                    os.path.join(
+                        dump_dir, f"{i:06d}_gt_positive_proposal_pc.ply"
+                    ),
+                    center[i][lab],
+                )
+        write_ply_points(
+            os.path.join(dump_dir, f"{i:06d}_gt_centroid_pc.ply"),
+            gt_center[i][gt_mask[i] > 0],
+        )
