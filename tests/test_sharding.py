@@ -93,3 +93,54 @@ def test_gather_negatives_matches_single_device():
     # gradients flow through the all_gather
     g = jax.grad(lambda a: step(a, gb))(ga)
     assert float(jnp.abs(g).max()) > 0
+
+
+@pytest.mark.slow
+def test_bn_stats_match_single_device():
+    """Cross-replica BatchNorm parity: one train step on the same global
+    batch must produce identical batch statistics (and params) whether the
+    batch is on one device or sharded over the 8-device mesh — GSPMD's
+    global mean/var reductions must see the full batch, matching the
+    reference's single-GPU BN semantics (SURVEY §7 hard part 5)."""
+    mesh = make_mesh()
+    config = tiny_config()
+    batch = make_batch(config, batch_size=8, num_points=256)
+
+    model = JointNet(config)
+    optimizer = make_optimizer(
+        lr_schedule=lambda e: cosine_lr(e, 1.0, 200), steps_per_epoch=10
+    )
+    train_step = jax.jit(make_train_step(model, config, optimizer))
+    rng = jax.random.key(0)
+
+    state_single = create_state(model, optimizer, batch)
+    single, _ = train_step(state_single, batch, rng)
+
+    state_shard = replicate(mesh, create_state(model, optimizer, batch))
+    sharded, _ = train_step(state_shard, shard_batch(mesh, batch), rng)
+
+    flat_s = jax.tree_util.tree_leaves_with_path(single.batch_stats)
+    flat_m = jax.tree_util.tree_leaves_with_path(sharded.batch_stats)
+    assert len(flat_s) == len(flat_m) > 0
+    checked = 0
+    for (ps, ls), (pm, lm) in zip(flat_s, flat_m):
+        assert ps == pm
+        np.testing.assert_allclose(
+            np.asarray(ls), np.asarray(lm), rtol=2e-5, atol=2e-6,
+            err_msg=str(ps),
+        )
+        checked += 1
+    assert checked > 10  # the BN stack is deep (SA/FP/vote/proposal...)
+
+    # updated params agree to within the AdamW step-1 amplification:
+    # m/(sqrt(v)+eps) at step 1 is ~sign(grad), so cross-device reduction-
+    # order noise on near-zero grads can flip single elements by ~2*lr.
+    # Require the aggregate divergence to be far below the update scale.
+    p0 = jax.tree_util.tree_leaves(create_state(model, optimizer, batch).params)
+    p_s = jax.tree_util.tree_leaves(single.params)
+    p_m = jax.tree_util.tree_leaves(sharded.params)
+    upd = np.mean([np.abs(np.asarray(a) - np.asarray(z)).mean()
+                   for a, z in zip(p_s, p0)])
+    div = np.mean([np.abs(np.asarray(a) - np.asarray(b)).mean()
+                   for a, b in zip(p_s, p_m)])
+    assert div < 0.1 * upd, (div, upd)
