@@ -27,7 +27,7 @@ from vlp3d.utils.jitcache import enable_persistent_cache
 
 enable_persistent_cache()
 
-BATCH = 8
+BATCH = 8  # overridable via --batch (canonical reference config is 8)
 NUM_POINTS = 40960
 REPS = 6
 
@@ -246,9 +246,12 @@ BENCHES = {
 
 
 def main():
+    global BATCH
     p = argparse.ArgumentParser()
     p.add_argument("--bench", default="all", choices=[*BENCHES, "all"])
+    p.add_argument("--batch", type=int, default=BATCH)
     args = p.parse_args()
+    BATCH = args.batch
     names = list(BENCHES) if args.bench == "all" else [args.bench]
     for n in names:
         BENCHES[n]()

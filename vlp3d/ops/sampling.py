@@ -104,21 +104,24 @@ def _fps_pallas(xyz: jax.Array, npoint: int, *, bchunk: int = 8) -> jax.Array:
         xyz_t = jnp.pad(xyz_t, ((0, 0), (0, pad_b), (0, 0)))
     nb = (b + pad_b) // bchunk
     kernel = functools.partial(_fps_pallas_kernel, npoint=npoint, n=n, b=bchunk)
-    out = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(
-                (3, bchunk, n), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (bchunk, npoint), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b + pad_b, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((bchunk, n), jnp.float32)],
-    )(xyz_t)
-    return out[:b]
+
+    def one(chunk):  # (3, bchunk, n) -> (bchunk, npoint)
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bchunk, npoint), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((bchunk, n), jnp.float32)],
+        )(chunk)
+
+    if nb == 1:
+        return one(xyz_t)[:b]
+    # one pallas_call per 8-row slice (lax.map, not a pallas grid): a
+    # batch-gridded call double-buffers the (3, 8, N) input block and
+    # blows the 16 MB VMEM budget at 40960 points x batch >= 16
+    chunks = xyz_t.reshape(3, nb, bchunk, n)
+    out = lax.map(one, jnp.moveaxis(chunks, 1, 0))  # (nb, bchunk, npoint)
+    return out.reshape(nb * bchunk, npoint)[:b]
 
 
 def furthest_point_sample(
