@@ -27,8 +27,23 @@ def three_nn(unknown: jax.Array, known: jax.Array):
     d2 = jnp.sum(
         (unknown[:, :, None, :] - known[:, None, :, :]) ** 2, axis=-1
     )  # (B, N, M)
-    neg, idx = lax.top_k(-d2, 3)
-    return -neg, idx.astype(jnp.int32)
+    # 3 iterative min-extractions instead of lax.top_k: top_k lowers to a
+    # full bitonic sort of the (B, N, M) distance matrix (PERF.md
+    # pathology #2). Lowest-index-of-min tie-break matches top_k's stable
+    # order and the CUDA strict-< scan.
+    m = d2.shape[-1]
+    lane = jnp.arange(m, dtype=jnp.int32)
+    cur = d2
+    dists, idxs = [], []
+    for _ in range(3):
+        mn = jnp.min(cur, axis=-1, keepdims=True)  # (B, N, 1)
+        ix = jnp.min(
+            jnp.where(cur == mn, lane, m), axis=-1
+        ).astype(jnp.int32)  # (B, N)
+        dists.append(mn[..., 0])
+        idxs.append(ix)
+        cur = jnp.where(lane == ix[..., None], jnp.inf, cur)
+    return jnp.stack(dists, axis=-1), jnp.stack(idxs, axis=-1)
 
 
 def three_interpolate(
