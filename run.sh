@@ -10,6 +10,6 @@ python -m vlp3d.cli.train_3dvlp \
   --use_multiview --use_normal \
   --batch_size 8 --epoch 200 --lang_num_max 8 \
   --coslr --lr 0.002 \
-  --no_caption --lang_num_aug 0 --unfreeze 6 \
+  --no_caption --lang_num_aug 0 --unfreeze 6 --debug \
   --use_con --use_diou_loss \
   "$@"
