@@ -175,7 +175,15 @@ class ScanReferJointDataset:
         bert_max_len: int = 50,
         seed: int = 42,
         minor_aug: bool = False,
+        glove: dict | None = None,
+        max_des_len: int = 30,
     ):
+        """glove (optional): token -> 300-d vector dict. When given, every
+        item also carries the GloVe-era LSTM language fields
+        (lang_feat/lang_len/main_lang_feat/main_lang_len/first_obj) the
+        legacy task pipelines consume (lib/visual_grounding/dataset.py's
+        lang path), alongside the BERT input_ids. Incompatible with
+        lang_num_aug (prompt-augmented sentences have no GloVe entry)."""
         self.scanrefer = scanrefer
         self.scene_source = scene_source
         self.tokenizer = tokenizer
@@ -198,6 +206,17 @@ class ScanReferJointDataset:
             if mean_size_arr is not None
             else np.ones((18, 3), np.float32)
         )
+        self.max_des_len = max_des_len
+        self._glove_lang = None
+        if glove is not None:
+            assert self.lang_num_aug == 0, (
+                "glove fields are incompatible with lang_num_aug"
+            )
+            from vlp3d.data.glove import transform_descriptions
+
+            self._glove_lang = transform_descriptions(
+                scanrefer, glove, raw2label or {}, max_des_len
+            )
         self.raw2label = raw2label or {}
         self.nyu40id2class = nyu40id2class or {}
         self.scanrefer_dict: dict = {}
@@ -427,7 +446,7 @@ class ScanReferJointDataset:
 
         bert = self.tokenizer(text_list, max_length=self.bert_max_len)
 
-        return {
+        item = {
             "istrain": np.int32(istrain),
             "lang_num": np.int32(lang_num),
             "point_clouds": point_cloud.astype(np.float32),
@@ -463,6 +482,16 @@ class ScanReferJointDataset:
             "input_ids": bert["input_ids"],
             "bert_attention_mask": bert["attention_mask"],
         }
+        if self._glove_lang is not None:
+            from vlp3d.data.glove import glove_batch_fields
+
+            item.update(
+                glove_batch_fields(
+                    chunk, self._glove_lang, self.lang_num_max,
+                    self.max_des_len,
+                )
+            )
+        return item
 
 
 def collate(items: list, *, random_gate: float, epoch: int) -> dict:

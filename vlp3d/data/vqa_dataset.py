@@ -51,12 +51,10 @@ class ScanQADataset(ScanReferJointDataset):
 
     def __init__(self, qa_annotations, scene_source, tokenizer, *,
                  answer_vocab: dict | None = None, num_answers: int | None = None,
-                 glove: dict | None = None, raw2label: dict | None = None,
                  **kwargs):
-        """glove (optional): token->vector dict. When given, each item also
-        carries the GloVe-era LSTM language fields (lang_feat/lang_len/...)
-        the standalone ScanQA model consumes (lib/vqa/dataset.py's lang
-        path), alongside the BERT input_ids of the joint pipeline."""
+        """Pass glove=<dict> (see ScanReferJointDataset) to also carry the
+        GloVe-era LSTM language fields the standalone ScanQA model
+        consumes (lib/vqa/dataset.py's lang path)."""
         anns = []
         for q in qa_annotations:
             object_ids = q.get("object_ids") or [0]
@@ -82,14 +80,6 @@ class ScanQADataset(ScanReferJointDataset):
         self.answer_vocab = answer_vocab
         self.answer_counter = answer_counter
         self.num_answers = num_answers or max(len(self.answer_vocab), 1)
-        self._glove_lang = None
-        if glove is not None:
-            from vlp3d.data.glove import transform_descriptions
-
-            self._glove_lang = transform_descriptions(
-                anns, glove, raw2label or {},
-                kwargs.get("max_des_len", 30),
-            )
         super().__init__(anns, scene_source, tokenizer, **kwargs)
 
     def __getitem__(self, idx):
@@ -117,10 +107,4 @@ class ScanQADataset(ScanReferJointDataset):
         item["answer_cat"] = answer_cat  # (L,)
         item["answer_cats"] = answer_cats  # (L, A) multi-hot
         item["answer_cat_scores"] = answer_scores  # (L, A) soft targets
-        if self._glove_lang is not None:
-            from vlp3d.data.glove import glove_batch_fields
-
-            item.update(
-                glove_batch_fields(chunk, self._glove_lang, l)
-            )
         return item
