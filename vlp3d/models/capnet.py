@@ -136,12 +136,15 @@ class TopDownCaptioner(nn.Module):
 
         outs = []
         hidden = hidden0
-        for i in range(t):
+        # T-1 next-word predictions: the last word's step is never scored
+        # (caption_module.py's num_words-1 loop; matches compute_cap_loss's
+        # targets = input_ids[:, 1:num_words+1] slicing)
+        for i in range(t - 1):
             hidden = self.step(
                 word_embs[:, i], hidden, tf, proposal_feats, att_mask
             )
             outs.append(self.classifier(hidden))
-        return jnp.stack(outs, axis=1)  # (N, T, vocab) logits
+        return jnp.stack(outs, axis=1)  # (N, T-1, vocab) logits
 
 
 class CapNet(nn.Module):
