@@ -177,13 +177,19 @@ class ScanReferJointDataset:
         minor_aug: bool = False,
         glove: dict | None = None,
         max_des_len: int = 30,
+        caption_vocab: dict | None = None,
     ):
         """glove (optional): token -> 300-d vector dict. When given, every
         item also carries the GloVe-era LSTM language fields
         (lang_feat/lang_len/main_lang_feat/main_lang_len/first_obj) the
         legacy task pipelines consume (lib/visual_grounding/dataset.py's
         lang path), alongside the BERT input_ids. Incompatible with
-        lang_num_aug (prompt-augmented sentences have no GloVe entry)."""
+        lang_num_aug (prompt-augmented sentences have no GloVe entry).
+
+        caption_vocab (optional, requires glove): {"word2idx", ...} from
+        build_caption_vocabulary — items additionally carry the
+        captioning-era sos/eos-wrapped fields cap_lang_feat / lang_ids /
+        cap_len (lib/visual_captioning/dataset.py:157-176)."""
         self.scanrefer = scanrefer
         self.scene_source = scene_source
         self.tokenizer = tokenizer
@@ -208,6 +214,7 @@ class ScanReferJointDataset:
         )
         self.max_des_len = max_des_len
         self._glove_lang = None
+        self._cap_lang = None
         if glove is not None:
             assert self.lang_num_aug == 0, (
                 "glove fields are incompatible with lang_num_aug"
@@ -217,6 +224,17 @@ class ScanReferJointDataset:
             self._glove_lang = transform_descriptions(
                 scanrefer, glove, raw2label or {}, max_des_len
             )
+            if caption_vocab is not None:
+                from vlp3d.data.glove import transform_description_caption
+
+                cap: dict = {}
+                for data in scanrefer:
+                    cap.setdefault(data["scene_id"], {}).setdefault(
+                        str(data["object_id"]), {}
+                    )[str(data["ann_id"])] = transform_description_caption(
+                        data["token"], glove, caption_vocab, max_des_len
+                    )
+                self._cap_lang = cap
         self.raw2label = raw2label or {}
         self.nyu40id2class = nyu40id2class or {}
         self.scanrefer_dict: dict = {}
@@ -488,6 +506,15 @@ class ScanReferJointDataset:
             item.update(
                 glove_batch_fields(
                     chunk, self._glove_lang, self.lang_num_max,
+                    self.max_des_len,
+                )
+            )
+        if self._cap_lang is not None:
+            from vlp3d.data.glove import caption_batch_fields
+
+            item.update(
+                caption_batch_fields(
+                    chunk, self._cap_lang, self.lang_num_max,
                     self.max_des_len,
                 )
             )

@@ -133,3 +133,48 @@ def glove_batch_fields(
         "main_lang_len": mll,
         "first_obj": fo,
     }
+
+
+def transform_description_caption(
+    tokens: list, glove: dict, vocabulary: dict, max_des_len: int = 30
+):
+    """Captioning-era transform (lib/visual_captioning/dataset.py:157-176):
+    tokens are sos/eos-wrapped; returns embeddings (max_des_len+2, 300),
+    lang_ids (max_des_len+2,) in caption-vocab space (unk fallback), and
+    lang_len = len(tokens)+2 capped."""
+    word2idx = vocabulary["word2idx"]
+    toks = ["sos"] + list(tokens)[:max_des_len] + ["eos"]
+    t = max_des_len + 2
+    dim = len(glove["unk"])
+    emb = np.zeros((t, dim), np.float32)
+    ids = np.zeros((t,), np.int64)  # 0 = pad_
+    for ti, token in enumerate(toks[:t]):
+        emb[ti] = glove.get(token, glove["unk"])
+        ids[ti] = word2idx.get(token, word2idx["unk"])
+    return {
+        "cap_embeddings": emb,
+        "lang_ids": ids,
+        "cap_len": min(len(toks), t),
+    }
+
+
+def caption_batch_fields(
+    chunk: list, cap_lang: dict, lang_num_max: int, max_des_len: int = 30
+):
+    """Per-chunk captioning fields: cap_lang_feat (L, T+2, 300),
+    lang_ids (L, T+2), cap_len (L,)."""
+    t = max_des_len + 2
+    first = next(iter(next(iter(next(iter(cap_lang.values())).values())).values()))
+    dim = first["cap_embeddings"].shape[-1]
+    lf = np.zeros((lang_num_max, t, dim), np.float32)
+    ids = np.zeros((lang_num_max, t), np.int64)
+    ln = np.zeros((lang_num_max,), np.int32)
+    for j in range(lang_num_max):
+        data = chunk[min(j, len(chunk) - 1)]
+        feats = cap_lang[data["scene_id"]][str(data["object_id"])][
+            str(data["ann_id"])
+        ]
+        lf[j] = feats["cap_embeddings"]
+        ids[j] = feats["lang_ids"]
+        ln[j] = feats["cap_len"]
+    return {"cap_lang_feat": lf, "lang_ids": ids, "cap_len": ln}
