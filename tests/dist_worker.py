@@ -1,0 +1,126 @@
+"""Multi-host DCN worker: a data-parallel train step over a 2-process
+global CPU mesh (2 virtual devices per process). Launched by
+tests/test_distributed.py with RANK / WORLD_SIZE / MASTER_ADDR /
+MASTER_PORT set (the reference's env:// rendezvous mode,
+utils/dist.py:7-13).
+
+The step is deliberately small (a two-layer regression net trained with
+the framework's real AdamW optimizer): the host this runs on may have a
+single CPU core, and two concurrent multi-minute XLA compiles of the
+full JointNet step starve each other into gloo timeouts. Full-model
+multi-device execution is validated by `__graft_entry__.dryrun_multichip`
+(single-process virtual mesh); THIS test proves what that one cannot —
+that the distributed module's rendezvous, coordination barrier,
+cross-process batch assembly (`shard_host_batch`), state replication
+(`replicate_global`), and gloo-backed collectives work across real
+process boundaries.
+
+Prints ``DIST_OK rank=<r> loss=<v> pnorm=<v>`` on success; the parent
+asserts both ranks print identical values. Each process feeds a
+DIFFERENT local batch half, so agreement requires the loss/gradient
+reductions to have spanned both processes.
+"""
+
+import os
+import re
+import sys
+
+# pin the virtual CPU platform BEFORE any jax backend init; force the
+# device count even if the pytest parent exported its own 8-device
+# XLA_FLAGS (tests/conftest.py) into our environment
+flags = os.environ.get("XLA_FLAGS", "")
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=2"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from vlp3d.parallel.distributed import (  # noqa: E402
+    barrier,
+    dist_init,
+    global_mesh,
+    replicate_global,
+    shard_host_batch,
+)
+
+
+def main() -> None:
+    ctx = dist_init(cpu_collectives="gloo")
+    assert ctx.distributed, "expected env:// rendezvous vars"
+    assert jax.process_count() == ctx.world_size == 2
+    assert jax.local_device_count() == 2
+
+    import jax.numpy as jnp
+
+    from vlp3d.train.optimizer import make_optimizer
+    from vlp3d.train.schedules import cosine_lr
+
+    mesh = global_mesh()
+    assert mesh.devices.size == 4
+    barrier("dist_worker_start")
+
+    global_bs, local_bs = 8, 4
+    rng = np.random.default_rng(0)
+    # both processes build the identical global batch (same seed), then
+    # keep only their own process slice — the multi-host data-loader shape
+    full = {
+        "point_clouds": rng.normal(size=(global_bs, 64, 3)).astype(np.float32),
+        "center_label": rng.normal(size=(global_bs, 3)).astype(np.float32),
+    }
+    lo, hi = ctx.rank * local_bs, (ctx.rank + 1) * local_bs
+    local = {k: v[lo:hi] for k, v in full.items()}
+    sharded = shard_host_batch(mesh, local)
+    for v in sharded.values():
+        assert not v.is_fully_addressable  # genuinely cross-host
+
+    params = {
+        "w1": rng.normal(size=(3, 32)).astype(np.float32) * 0.1,
+        "w2": rng.normal(size=(32, 3)).astype(np.float32) * 0.1,
+    }
+    optimizer = make_optimizer(
+        lr_schedule=lambda e: cosine_lr(e, 1.0, 200), steps_per_epoch=10
+    )
+    opt_state = optimizer.init(params)
+    params, opt_state = replicate_global(mesh, (params, opt_state))
+
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            h = jnp.maximum(batch["point_clouds"] @ p["w1"], 0.0)
+            pred = jnp.mean(h, axis=1) @ p["w2"]
+            return jnp.mean((pred - batch["center_label"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # AOT-compile (process-local, no collectives), then re-align the ranks
+    # so the step's first cross-host collective — which establishes the
+    # gloo pair context under a short connect timeout — starts
+    # near-simultaneously on both processes
+    compiled = (
+        jax.jit(train_step).lower(params, opt_state, sharded).compile()
+    )
+    barrier("dist_worker_compiled")
+    for _ in range(3):
+        params, opt_state, loss = compiled(params, opt_state, sharded)
+    loss = float(loss)  # value materialization = completion
+    pnorm = float(
+        sum(jnp.sum(p * p) for p in jax.tree.leaves(params)) ** 0.5
+    )
+    assert np.isfinite(loss), loss
+    print(f"DIST_OK rank={ctx.rank} loss={loss:.8f} pnorm={pnorm:.8f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

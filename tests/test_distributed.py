@@ -1,0 +1,107 @@
+"""Multi-host DCN exercise: a real 2-process jax.distributed run.
+
+Goes beyond the single-process virtual mesh (test_sharding.py) — two
+separate controller processes rendezvous via the env:// contract the
+reference's utils/dist.py:7-13 defines, form one 8-device global mesh
+(4 virtual CPU devices per process), and run one jitted JointNet train
+step whose batch halves live on different processes. Equal reported
+losses prove the gradient/metric reductions crossed the process
+boundary.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_WORKER = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_step():
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update(
+            RANK=str(rank),
+            WORLD_SIZE="2",
+            MASTER_ADDR="127.0.0.1",
+            MASTER_PORT=str(port),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, _WORKER],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    results = []
+    for rank, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        results.append((rank, p.returncode, out, err))
+    report = "\n".join(
+        f"--- rank {r} rc={rc}\nstdout:{out[-1500:]}\nstderr:{err[-2500:]}"
+        for r, rc, out, err in results
+    )
+    assert all(rc == 0 for _, rc, _, _ in results), report
+    vals = []
+    for rank, _, out, _ in results:
+        m = re.search(
+            rf"DIST_OK rank={rank} loss=([-\d.einf]+) pnorm=([-\d.einf]+)",
+            out,
+        )
+        assert m, f"no DIST_OK from rank {rank}: {out[-2000:]}"
+        vals.append((float(m.group(1)), float(m.group(2))))
+    # identical loss AND updated-param norm across ranks => the gradient/
+    # loss reductions spanned both processes (each fed a different half)
+    assert vals[0] == vals[1], vals
+
+
+def test_dist_init_noop_without_rendezvous():
+    """Single-process: dist_init is a no-op (reference dist.py:33-36)."""
+    env = dict(os.environ)
+    for k in ("RANK", "WORLD_SIZE", "SLURM_PROCID", "MASTER_ADDR"):
+        env.pop(k, None)
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS']='cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms','cpu')\n"
+        f"import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from vlp3d.parallel.distributed import dist_init\n"
+        "ctx = dist_init()\n"
+        "assert not ctx.distributed and ctx.rank == 0 and ctx.world_size == 1\n"
+        "print('NOOP_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "NOOP_OK" in out.stdout
+
+
+def test_slurm_hostlist_parsing():
+    from vlp3d.parallel.distributed import _slurm_first_host
+
+    assert _slurm_first_host("node[3-17,20]") == "node3"
+    assert _slurm_first_host("gpu-a,gpu-b") == "gpu-a"
+    assert _slurm_first_host("single") == "single"

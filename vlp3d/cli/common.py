@@ -66,11 +66,74 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="use synthetic scenes (no ScanNet needed)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny shapes, 2 epochs — CI smoke run")
+
+    # --- remaining reference-surface flags (train_3dvlp.py:588-774) ---
+    # behavioral:
+    p.add_argument("--dataset", type=str, default="ScanRefer",
+                   help="annotation set; the reference accepts only "
+                        "ScanRefer (train_3dvlp.py:256-262)")
+    p.add_argument("--use_mlcv_net", action="store_true",
+                   help="CGNL backbone/voting variant (jointnet.py:63-69)")
+    p.add_argument("--use_color", action="store_true",
+                   help="RGB input channels, normalized by MEAN_COLOR_RGB "
+                        "(lib/joint/dataset.py:960)")
+    p.add_argument("--no_height", action="store_true",
+                   help="drop the height input channel")
+    p.add_argument("--no_augment", action="store_true",
+                   help="disable train-time augmentation")
+    p.add_argument("--no_detection", action="store_true",
+                   help="do NOT train the detection module")
+    p.add_argument("--minor_aug", action="store_true",
+                   help="minor-class sentence-slot augmentation")
+    p.add_argument("--amsgrad", action="store_true",
+                   help="AMSGrad variant of AdamW (scripts/utils/AdamW.py)")
+    p.add_argument("--num_scenes", type=int, default=-1,
+                   help="limit the number of training scenes (-1 = all)")
+    p.add_argument("--num_ground_epoch", type=int, default=50,
+                   help="grounding-curriculum switch epoch")
+    p.add_argument("--criterion", type=str, default="sum",
+                   help="best-model criterion; as in the reference, only "
+                        "'sum' (2 x iou_rate_0.5) updates best snapshots "
+                        "(solver_3dvlp.py:1114-1135)")
+    p.add_argument("--verbose", type=int, default=10,
+                   help="iteration logging interval")
+    p.add_argument("--val_step", type=int, default=2000)
+    # accepted for flag-for-flag parity; inert in the reference's joint
+    # path too (constructor args JointNet stores but never reads, or
+    # 3DJCG-era graph/caption options the joint model doesn't build):
+    p.add_argument("--gpu", type=str, default="0",
+                   help="accepted for parity; device selection on TPU is "
+                        "env-driven (JAX_PLATFORMS)")
+    p.add_argument("--num_locals", type=int, default=-1)
+    p.add_argument("--num_graph_steps", type=int, default=0)
+    p.add_argument("--query_mode", type=str, default="center")
+    p.add_argument("--graph_mode", type=str, default="edge_conv")
+    p.add_argument("--graph_aggr", type=str, default="add")
+    p.add_argument("--use_tf", action="store_true",
+                   help="inert in the joint path: jointnet.forward ignores "
+                        "use_tf (jointnet.py:112,214)")
+    p.add_argument("--use_topdown", action="store_true")
+    p.add_argument("--use_relation", action="store_true")
+    p.add_argument("--use_new", action="store_true")
+    p.add_argument("--use_orientation", action="store_true")
+    p.add_argument("--use_distance", action="store_true")
+    p.add_argument("--use_bidir", action="store_true")
+    p.add_argument("--use_pc_encoder", action="store_true",
+                   help="accepted for parity; dormant in the reference "
+                        "(JointNet never instantiates pc_encoder, "
+                        "jointnet.py:19,170)")
+    p.add_argument("--use_match_con_loss", action="store_true",
+                   help="stored but never read by the reference "
+                        "(match_module.py:74)")
     return p
 
 
 def config_from_args(args) -> Config:
-    input_dim = 1  # height
+    # input channel arithmetic mirrors train_3dvlp.py:82-83:
+    # 3 + color*3 + (not no_height) + normal*3 + multiview*128
+    input_dim = 0 if getattr(args, "no_height", False) else 1
+    if getattr(args, "use_color", False):
+        input_dim += 3
     if args.use_multiview:
         input_dim += 128
     if args.use_normal:
@@ -78,7 +141,14 @@ def config_from_args(args) -> Config:
     # relation's object embedding slices the multiview channels when
     # present (relation_module.py:101); otherwise use whatever per-point
     # features exist
-    mv_offset, mv_dim = (6, 128) if args.use_multiview else (3, input_dim)
+    feat_before_mv = (
+        3
+        + 3 * int(getattr(args, "use_color", False))
+        + 3 * int(args.use_normal)
+    )
+    mv_offset, mv_dim = (
+        (feat_before_mv, 128) if args.use_multiview else (3, input_dim)
+    )
     model = ModelConfig(
         input_feature_dim=input_dim,
         multiview_offset=mv_offset,
@@ -97,6 +167,7 @@ def config_from_args(args) -> Config:
         use_vote_weight=args.use_vote_weight,
         mask_box=args.mask_box,
         use_distil=args.use_distil,
+        use_mlcv_net=getattr(args, "use_mlcv_net", False),
     )
     return Config(
         dataset=DatasetConfig(
@@ -106,6 +177,7 @@ def config_from_args(args) -> Config:
         loss=LossConfig(
             use_diou_loss=args.use_diou_loss,
             use_attr_loss=args.use_attr_loss,
+            num_ground_epoch=getattr(args, "num_ground_epoch", 50),
             debug=args.debug,
         ),
         train=TrainConfig(
@@ -113,6 +185,7 @@ def config_from_args(args) -> Config:
             epochs=args.epoch,
             lr=args.lr,
             weight_decay=args.wd,
+            amsgrad=getattr(args, "amsgrad", False),
             seed=args.seed,
         ),
     )
@@ -153,6 +226,9 @@ def load_scanrefer(scanrefer_dir: str, split: str) -> list:
 
 
 def build_datasets(args, config: Config):
+    if getattr(args, "dataset", "ScanRefer") != "ScanRefer":
+        # the reference accepts only ScanRefer (train_3dvlp.py:261-262)
+        raise ValueError("Invalid dataset.")
     if args.synthetic:
         train = make_synthetic_dataset(
             config, n_scenes=4, anns_per_scene=10, augment=True,
@@ -175,8 +251,14 @@ def build_datasets(args, config: Config):
     mean_size = config.dataset.mean_size_arr()
 
     def make(split, augment, shuffle):
+        anns = load_scanrefer(args.scanrefer_dir, split)
+        num_scenes = getattr(args, "num_scenes", -1)
+        if num_scenes and num_scenes > 0 and split == "train":
+            # limit to the first N scenes (--num_scenes)
+            keep = sorted({d["scene_id"] for d in anns})[:num_scenes]
+            anns = [d for d in anns if d["scene_id"] in set(keep)]
         return ScanReferJointDataset(
-            load_scanrefer(args.scanrefer_dir, split),
+            anns,
             source,
             tokenizer,
             split=split,
@@ -185,6 +267,8 @@ def build_datasets(args, config: Config):
             lang_num_aug=args.lang_num_aug,
             augment=augment,
             shuffle=shuffle,
+            minor_aug=getattr(args, "minor_aug", False),
+            use_height=not getattr(args, "no_height", False),
             mean_size_arr=mean_size,
             raw2label=raw2label,
             nyu40id2class=nyu40map,
@@ -192,4 +276,5 @@ def build_datasets(args, config: Config):
             seed=args.seed,
         )
 
-    return make("train", True, True), make("val", False, False)
+    no_augment = getattr(args, "no_augment", False)
+    return make("train", not no_augment, True), make("val", False, False)

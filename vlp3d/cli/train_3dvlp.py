@@ -26,6 +26,18 @@ def main(argv=None):
     add_common_args(p)
     args = p.parse_args(argv)
 
+    # multi-host rendezvous (env:// or SLURM, utils/dist.py contract);
+    # no-op single-process. Must run before any backend touch.
+    from vlp3d.parallel.distributed import dist_init
+
+    ctx = dist_init()
+    if ctx.distributed:
+        print(
+            f"| distributed init (rank {ctx.rank}/{ctx.world_size}): "
+            f"{ctx.coordinator}",
+            flush=True,
+        )
+
     config = resolve_config(args)
 
     train_ds, val_ds = build_datasets(args, config)
@@ -47,8 +59,12 @@ def main(argv=None):
         val_ds,
         workdir,
         caption=not config.model.no_caption,
+        detection=not getattr(args, "no_detection", False),
         reference=not config.model.no_reference,
         use_bn_schedule=config.model.no_caption,
+        log_every=getattr(args, "verbose", 10),
+        criterion=getattr(args, "criterion", "sum"),
+        val_step=getattr(args, "val_step", 2000),
         seed=args.seed,
     )
     sample = next(iter(BatchIterator(train_ds, config.train.batch_size)))

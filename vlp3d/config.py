@@ -112,6 +112,7 @@ class TrainConfig:
     lr: float = 2e-3
     module_lr: float = 5e-4  # lang/relation/match/caption groups
     weight_decay: float = 1e-5
+    amsgrad: bool = False  # AMSGrad AdamW variant (scripts/utils/AdamW.py)
     coslr_eta_min: float = 1e-5
     bn_momentum_init: float = 0.5  # torch convention; halved every 20 epochs
     bn_decay_step: int = 20

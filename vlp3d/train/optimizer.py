@@ -35,10 +35,16 @@ def make_optimizer(
     weight_decay: float = 1e-3,
     lr_schedule: Callable[[int], float] | None = None,
     steps_per_epoch: int = 1,
+    amsgrad: bool = False,
 ) -> optax.GradientTransformation:
     """lr_schedule maps epoch -> multiplier of the base LR (1.0 at epoch 0);
     both groups follow the same relative schedule, as torch's scheduler
-    scales every param group."""
+    scales every param group.
+
+    amsgrad: the reference's vendored AdamW supports --amsgrad
+    (scripts/utils/AdamW.py max_exp_avg_sq branch); here scale_by_amsgrad
+    replaces scale_by_adam in the same decoupled-decay chain.
+    """
 
     def sched(lr0):
         if lr_schedule is None:
@@ -46,6 +52,13 @@ def make_optimizer(
         return lambda step: lr0 * lr_schedule(step // steps_per_epoch)
 
     def adamw(lr0):
+        if amsgrad:
+            # mirror optax.adamw's chain with the AMSGrad second-moment rule
+            return optax.chain(
+                optax.scale_by_amsgrad(b1=0.9, b2=0.999, eps=1e-8),
+                optax.add_decayed_weights(weight_decay),
+                optax.scale_by_learning_rate(sched(lr0)),
+            )
         return optax.adamw(
             learning_rate=sched(lr0),
             b1=0.9,

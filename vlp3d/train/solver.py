@@ -51,6 +51,7 @@ class Solver:
         use_bn_schedule: bool = False,
         val_step: int = 1,
         log_every: int = 50,
+        criterion: str = "sum",
         mesh=None,
         seed: int = 42,
         caption_eval_ctx: dict | None = None,
@@ -69,7 +70,25 @@ class Solver:
         self.reference = reference
         self.use_bn_schedule = use_bn_schedule
         self.log_every = log_every
-        self.mesh = mesh or make_mesh_for_batch(config.train.batch_size)
+        # best-model criterion: as in the reference, only 'sum'
+        # (2 x iou_rate_0.5) drives best-snapshot updates; any other value
+        # leaves cur_best at 0 (solver_3dvlp.py:1114-1135)
+        self.criterion = criterion
+        # multi-host (DCN): one global mesh over every process's devices;
+        # config.train.batch_size stays the GLOBAL batch size, each process
+        # feeds its own row-slice (see _shard). Call
+        # vlp3d.parallel.distributed.dist_init() before constructing the
+        # Solver to enable this.
+        self.n_proc = jax.process_count()
+        self.is_main = jax.process_index() == 0
+        if mesh is not None:
+            self.mesh = mesh
+        elif self.n_proc > 1:
+            from vlp3d.parallel.distributed import global_mesh
+
+            self.mesh = global_mesh()
+        else:
+            self.mesh = make_mesh_for_batch(config.train.batch_size)
         self.caption_eval_ctx = caption_eval_ctx
         self.rng = jax.random.key(seed)
         self.np_rng = np.random.default_rng(seed)
@@ -88,6 +107,7 @@ class Solver:
                 e, 1.0, t_max, config.train.coslr_eta_min / config.train.lr
             ),
             steps_per_epoch=steps_per_epoch,
+            amsgrad=config.train.amsgrad,
         )
         self._model_cache: dict = {}
         self.state: TrainState | None = None
@@ -95,13 +115,23 @@ class Solver:
             "epoch": 0, "sum": -1e10, "ground_sum": -1e10,
             "ground_25": -1e10, "ground_5": -1e10, "caption_sum": -1e10,
         }
-        self._logf = open(os.path.join(workdir, "log.jsonl"), "a")
+        # rank-0 writes only (the reference's is-main pattern): non-main
+        # processes compute identical metrics but must not race on files
+        self._logf = open(
+            os.path.join(workdir, "log.jsonl") if self.is_main
+            else os.devnull,
+            "a",
+        )
         # tensorboard dual writers (solver_3dvlp.py:214-221): every scalar
         # series the step emits lands under train/ and val/
         from vlp3d.utils.tb_writer import SummaryWriter
 
-        self._tb_train = SummaryWriter(os.path.join(workdir, "tensorboard", "train"))
-        self._tb_val = SummaryWriter(os.path.join(workdir, "tensorboard", "val"))
+        tb_dir = (
+            os.path.join(workdir, "tensorboard") if self.is_main
+            else os.path.join(workdir, "tensorboard", f"rank{jax.process_index()}")
+        )
+        self._tb_train = SummaryWriter(os.path.join(tb_dir, "train"))
+        self._tb_val = SummaryWriter(os.path.join(tb_dir, "val"))
         self._global_step = 0
 
     # ------------------------------------------------------------ model
@@ -132,6 +162,14 @@ class Solver:
                     detection=self.detection,
                 )
             )
+            # multi-host: replicate eval outputs (an all-gather at step
+            # end) so host-side eval code can device_get the full global
+            # batch on every process
+            eval_out_shardings = None
+            if self.n_proc > 1:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                eval_out_shardings = NamedSharding(self.mesh, PartitionSpec())
             eval_step = jax.jit(
                 make_eval_step(
                     model,
@@ -139,7 +177,8 @@ class Solver:
                     caption=False,
                     reference=self.reference,
                     detection=self.detection,
-                )
+                ),
+                out_shardings=eval_out_shardings,
             )
             self._model_cache[m] = (model, train_step, eval_step)
         return self._model_cache[m]
@@ -149,7 +188,42 @@ class Solver:
         self.state = create_state(
             model, self.optimizer, sample_batch, self.config.train.seed
         )
-        self.state = replicate(self.mesh, self.state)
+        if self.n_proc > 1:
+            from vlp3d.parallel.distributed import replicate_global
+
+            self.state = replicate_global(self.mesh, self.state)
+        else:
+            self.state = replicate(self.mesh, self.state)
+
+    def _shard(self, arrays: dict) -> dict:
+        """Host batch dict -> device-sharded batch.
+
+        Single-host: leading-axis sharding over the local mesh. Multi-host:
+        every process builds the identical GLOBAL batch (same seeded
+        loader), keeps its own contiguous row-slice, and the slices are
+        assembled into global arrays sharded over the data axis — host-side
+        eval code keeps seeing the full global batch either way.
+        """
+        if self.n_proc == 1:
+            return shard_batch(self.mesh, arrays)
+        from vlp3d.parallel.distributed import shard_host_batch
+
+        bs = arrays["point_clouds"].shape[0]
+        if bs % self.n_proc:
+            raise ValueError(
+                f"global batch {bs} not divisible by {self.n_proc} processes"
+            )
+        local_bs = bs // self.n_proc
+        lo = jax.process_index() * local_bs
+        local = {
+            k: (
+                v[lo:lo + local_bs]
+                if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == bs
+                else v
+            )
+            for k, v in arrays.items()
+        }
+        return shard_host_batch(self.mesh, local)
 
     # ------------------------------------------------------------ feeds
     def _log(self, record: dict):
@@ -172,9 +246,8 @@ class Solver:
         self.timers.start("fetch")
         for it, batch in enumerate(loader):
             self.timers.stop("fetch")
-            batch = shard_batch(
-                self.mesh, {k: v for k, v in batch.items()
-                            if not isinstance(v, list)}
+            batch = self._shard(
+                {k: v for k, v in batch.items() if not isinstance(v, list)}
             )
             self.timers.start("iter")
             self.state, metrics = train_step(self.state, batch, self.rng)
@@ -237,7 +310,7 @@ class Solver:
                     )
                     for k, v in arrays.items()
                 }
-            sharded = shard_batch(self.mesh, arrays)
+            sharded = self._shard(arrays)
             out, metrics = eval_step(self.state, sharded)
             out_np = jax.device_get(
                 {
@@ -333,7 +406,7 @@ class Solver:
             arrays = {
                 k: v for k, v in batch.items() if not isinstance(v, list)
             }
-            sharded = shard_batch(self.mesh, arrays)
+            sharded = self._shard(arrays)
             out, _ = eval_step(self.state, sharded)
             feats = out["aggregated_vote_features"]
             b, k, c = feats.shape
@@ -369,9 +442,14 @@ class Solver:
 
     # ------------------------------------------------------------ loop
     def _snapshot(self, name: str) -> None:
-        ckpt.save_params(
-            self.workdir, name, self.state.params, self.state.batch_stats
-        )
+        if not self.is_main:
+            return  # rank-0 writes (values are replicated across hosts)
+        params, stats = self.state.params, self.state.batch_stats
+        if self.n_proc > 1:
+            # materialize fully-replicated global arrays host-side; the
+            # checkpoint layer then never sees non-addressable buffers
+            params, stats = jax.tree.map(np.asarray, (params, stats))
+        ckpt.save_params(self.workdir, name, params, stats)
 
     def __call__(self, epochs: int, *, eval_every: int = 1) -> dict:
         epoch = 0
@@ -385,8 +463,11 @@ class Solver:
                 if (epoch + 1) % eval_every == 0:
                     val = self.eval_epoch(epoch)
                     ground_sum = val["iou_rate_0.5"]
-                    # criterion 'sum' (solver:1126-1128)
-                    cur_best = ground_sum * 2
+                    # criterion 'sum' (solver:1126-1128); non-'sum' leaves
+                    # cur_best 0 as the reference does (:1129-1135)
+                    cur_best = (
+                        ground_sum * 2 if self.criterion == "sum" else 0.0
+                    )
                     if cur_best > self.best["sum"]:
                         self.best.update(
                             epoch=epoch + 1, sum=cur_best, **{
@@ -406,20 +487,26 @@ class Solver:
                         self._snapshot("ground_model_5")
 
                 if epoch % 10 == 0 and epoch != 0:
-                    ckpt.save_checkpoint(
-                        self.workdir, self.state, self.best, epoch
-                    )
+                    self._save_full_checkpoint(epoch)
         except KeyboardInterrupt:
             # save-and-exit on interrupt (solver_3dvlp.py:356-359)
-            ckpt.save_checkpoint(self.workdir, self.state, self.best, epoch)
+            self._save_full_checkpoint(epoch)
             self._log({"phase": "interrupt", "epoch": epoch})
             print(f"interrupted at epoch {epoch} — checkpoint saved to "
                   f"{self.workdir}")
             self._finish()
             return self.best
-        ckpt.save_checkpoint(self.workdir, self.state, self.best, epochs - 1)
+        self._save_full_checkpoint(epochs - 1)
         self._finish()
         return self.best
+
+    def _save_full_checkpoint(self, epoch: int) -> None:
+        if not self.is_main:
+            return
+        state = self.state
+        if self.n_proc > 1:
+            state = jax.tree.map(np.asarray, state)
+        ckpt.save_checkpoint(self.workdir, state, self.best, epoch)
 
     def _finish(self) -> None:
         """Best-metric report + all_scalars.json export (the reference's
@@ -431,8 +518,9 @@ class Solver:
             for k, v in sorted(self.best.items())
         ]
         report = "\n".join(lines)
-        with open(os.path.join(self.workdir, "log.txt"), "a") as f:
-            f.write(report + "\n")
+        if self.is_main:
+            with open(os.path.join(self.workdir, "log.txt"), "a") as f:
+                f.write(report + "\n")
         self._log({"phase": "best", **self.best})
         self._tb_train.export_scalars_to_json()
         self._tb_val.export_scalars_to_json()
@@ -450,13 +538,18 @@ class Solver:
         )
         from vlp3d.train.state import canonicalize_tree
 
-        self.state = replicate(
-            self.mesh,
-            canonicalize_tree(
-                self.state.replace(
-                    params=merged["params"],
-                    batch_stats=merged["batch_stats"],
-                )
-            ),
+        new_state = canonicalize_tree(
+            self.state.replace(
+                params=merged["params"],
+                batch_stats=merged["batch_stats"],
+            )
         )
+        if self.n_proc > 1:
+            from vlp3d.parallel.distributed import replicate_global
+
+            self.state = replicate_global(
+                self.mesh, jax.tree.map(np.asarray, new_state)
+            )
+        else:
+            self.state = replicate(self.mesh, new_state)
         return n_restored, n_skipped
