@@ -122,3 +122,33 @@ def test_collate_and_iterator():
     batches = list(it)
     assert len(batches) == 2
     assert batches[0]["input_ids"].shape == (2, 4, 16)
+
+
+def test_scene_object_rotation_fields():
+    """Scan2CAD orientation fields appear when object_rotations is given
+    (dataset.py:797-809); absent otherwise."""
+    ds = build_dataset()
+    assert "scene_object_rotations" not in ds[0]
+    assert "scene_object_ids" in ds[0]
+
+    # map the first scene's first GT object to a 90-deg rotation
+    item = ds[0]
+    first_obj = int(item["scene_object_ids"][0])
+    scene_id = ds.chunks[0][0]["scene_id"]
+    rot = [[0, -1, 0], [1, 0, 0], [0, 0, 1]]
+    ds2 = build_dataset(
+        object_rotations={scene_id: {str(first_obj): rot}}
+    )
+    # find the chunk for that scene
+    idx = next(
+        i for i, c in enumerate(ds2.chunks) if c[0]["scene_id"] == scene_id
+    )
+    item2 = ds2[idx]
+    assert item2["scene_object_rotations"].shape == (
+        item2["scene_object_ids"].shape[0], 3, 3
+    )
+    assert item2["scene_object_rotation_masks"][0] == 1
+    np.testing.assert_allclose(
+        item2["scene_object_rotations"][0], np.asarray(rot, np.float32)
+    )
+    assert item2["scene_object_rotation_masks"][1:].sum() == 0

@@ -64,6 +64,7 @@ def main(argv=None):
     from vlp3d.data.multiview import (
         ProjectionHelper,
         maxpool_multiview_features,
+        vote_multiview_labels,
     )
 
     p = argparse.ArgumentParser()
@@ -72,6 +73,13 @@ def main(argv=None):
     p.add_argument("--out", default="enet_feats_maxpool.hdf5")
     p.add_argument("--enet_checkpoint", default="")
     p.add_argument("--max_frames", type=int, default=0)
+    p.add_argument("--labels", action="store_true",
+                   help="project per-frame nyu40 label maps "
+                        "(<scene>/label/<frame>.npy) with per-point "
+                        "majority voting instead of features, writing "
+                        "<scene>_multiview_labels.npy next to --out plus a "
+                        "colored PLY (project_multiview_labels.py)")
+    p.add_argument("--num_labels", type=int, default=41)
     # depth-camera intrinsics at the ORIGINAL frame resolution (ScanNet
     # defaults, project_multiview_features.py); scaled to feature res
     p.add_argument("--fx", type=float, default=577.870605)
@@ -82,11 +90,16 @@ def main(argv=None):
 
     import h5py
 
-    feats_fn = enet_feature_fn(args.enet_checkpoint or None)
     scenes = sorted(
         d for d in os.listdir(args.frames_dir)
         if os.path.isdir(os.path.join(args.frames_dir, d))
     )
+
+    if args.labels:
+        return _project_labels(args, scenes, ProjectionHelper,
+                               vote_multiview_labels)
+
+    feats_fn = enet_feature_fn(args.enet_checkpoint or None)
     with h5py.File(args.out, "w") as out:
         for scene in scenes:
             sdir = os.path.join(args.frames_dir, scene)
@@ -132,6 +145,68 @@ def main(argv=None):
             print(f"{scene}: {len(frames)} frames -> {mv.shape}")
     print(f"wrote {args.out}")
     return args.out
+
+
+def _project_labels(args, scenes, ProjectionHelper, vote_multiview_labels):
+    """--labels mode: majority-voted per-point semantic labels + a
+    label-colored PLY per scene (project_multiview_labels.py:148-178)."""
+    from vlp3d.utils.visualize import write_ply_points
+
+    out_dir = os.path.dirname(os.path.abspath(args.out)) or "."
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    palette = rng.integers(0, 255, size=(args.num_labels, 3))
+    palette[0] = 0  # unannotated -> black
+    written = []
+    for scene in scenes:
+        sdir = os.path.join(args.frames_dir, scene)
+        frame_ids = sorted(
+            os.path.splitext(os.path.basename(f))[0]
+            for f in glob.glob(os.path.join(sdir, "label", "*.npy"))
+        )
+        if args.max_frames:
+            frame_ids = frame_ids[: args.max_frames]
+        points = np.load(
+            os.path.join(args.scannet_data, f"{scene}_aligned_vert.npy")
+        )[:, :3]
+        frames = []
+        projector = None
+        for fid in frame_ids:
+            label = np.load(os.path.join(sdir, "label", f"{fid}.npy"))
+            depth = np.load(os.path.join(sdir, "depth", f"{fid}.npy"))
+            pose = np.loadtxt(os.path.join(sdir, "pose", f"{fid}.txt"))
+            h, w = label.shape[:2]
+            dh = depth[:: depth.shape[0] // h or 1,
+                       :: depth.shape[1] // w or 1][:h, :w]
+            if projector is None:
+                sx = w / (depth.shape[1] or w)
+                sy = h / (depth.shape[0] or h)
+                intr = np.array(
+                    [[args.fx * sx, 0, args.cx * sx],
+                     [0, args.fy * sy, args.cy * sy],
+                     [0, 0, 1]],
+                    np.float32,
+                )
+                projector = ProjectionHelper(
+                    intrinsics=intr, image_dims=(w, h)
+                )
+            frames.append((label, dh, pose))
+        if not frames:
+            continue
+        labels = vote_multiview_labels(
+            points, frames, num_labels=args.num_labels, projector=projector
+        )
+        npy_path = os.path.join(out_dir, f"{scene}_multiview_labels.npy")
+        np.save(npy_path, labels.astype(np.int64))
+        write_ply_points(
+            os.path.join(out_dir, f"{scene}_multiview_labels.ply"),
+            points,
+            palette[labels],
+        )
+        written.append(npy_path)
+        print(f"{scene}: {len(frames)} frames -> labels {labels.shape}")
+    print(f"wrote {len(written)} label files under {out_dir}")
+    return written
 
 
 if __name__ == "__main__":

@@ -178,6 +178,7 @@ class ScanReferJointDataset:
         glove: dict | None = None,
         max_des_len: int = 30,
         caption_vocab: dict | None = None,
+        object_rotations: dict | None = None,
     ):
         """glove (optional): token -> 300-d vector dict. When given, every
         item also carries the GloVe-era LSTM language fields
@@ -189,7 +190,12 @@ class ScanReferJointDataset:
         caption_vocab (optional, requires glove): {"word2idx", ...} from
         build_caption_vocabulary — items additionally carry the
         captioning-era sos/eos-wrapped fields cap_lang_feat / lang_ids /
-        cap_len (lib/visual_captioning/dataset.py:157-176)."""
+        cap_len (lib/visual_captioning/dataset.py:157-176).
+
+        object_rotations (optional): the Scan2CAD-derived
+        {scene_id: {instance_id: 3x3}} json (vlp3d.data.scan2cad) — items
+        then carry scene_object_rotations / scene_object_rotation_masks
+        (dataset.py:797-809; emitted-only in the reference as well)."""
         self.scanrefer = scanrefer
         self.scene_source = scene_source
         self.tokenizer = tokenizer
@@ -207,6 +213,7 @@ class ScanReferJointDataset:
         # a sentence about a minor-class object is repeated in the next slot
         self.minor_aug = minor_aug
         self.minor_label = ("counter", "curtain", "shower curtain", "bathtub")
+        self.object_rotations = object_rotations
         self.mean_size_arr = (
             mean_size_arr
             if mean_size_arr is not None
@@ -277,6 +284,25 @@ class ScanReferJointDataset:
         if cur_scene:
             flush_scene(cur_scene)
         return out
+
+    def _rotation_fields(self, scene_id, gt_box_object_ids, num_bbox):
+        """Scan2CAD orientation fields (dataset.py:797-809); empty unless
+        object_rotations was provided."""
+        if self.object_rotations is None:
+            return {}
+        n = len(gt_box_object_ids)
+        rotations = np.zeros((n, 3, 3), np.float32)
+        masks = np.zeros((n,), np.int64)
+        scene_rot = self.object_rotations.get(scene_id, {})
+        for i in range(num_bbox):
+            rot = scene_rot.get(str(int(gt_box_object_ids[i])))
+            if rot is not None:
+                rotations[i] = np.asarray(rot, np.float32)
+                masks[i] = 1
+        return {
+            "scene_object_rotations": rotations,
+            "scene_object_rotation_masks": masks,
+        }
 
     def shuffle_data(self):
         """Re-chunk each epoch (solver calls this; dataset.py:528-535)."""
@@ -484,6 +510,10 @@ class ScanReferJointDataset:
             "gt_box_corner_label": gt_corners.astype(np.float64),
             "gt_box_masks": gt_box_masks,
             "gt_box_object_ids": gt_box_object_ids,
+            # reference key name (dataset.py:837); caption eval gathers it
+            # through object_assignment (eval_helper.py:186-197)
+            "scene_object_ids": gt_box_object_ids,
+            **self._rotation_fields(scene_id, gt_box_object_ids, num_bbox),
             "ref_box_label_list": ref_box_label_list,
             "ref_center_label_list": ref_center_list,
             "ref_heading_class_label_list": np.zeros((l,), np.int64),

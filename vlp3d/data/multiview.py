@@ -80,6 +80,50 @@ def project_frame_features(
     return feats * valid[:, None], valid
 
 
+def project_frame_labels(
+    points: np.ndarray,  # (N, 3)
+    label_map: np.ndarray,  # (H, W) int semantic labels
+    depth_map: np.ndarray,  # (H, W)
+    camera_pose: np.ndarray,  # (4, 4) camera-to-world
+    projector: ProjectionHelper | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One frame -> (labels (N,) int, valid (N,)). Invalid points get 0
+    ('unannotated'). Label analogue of project_frame_features
+    (scripts/multiview_compute/project_multiview_labels.py:189-213)."""
+    projector = projector or ProjectionHelper(
+        image_dims=(label_map.shape[1], label_map.shape[0])
+    )
+    world_to_camera = np.linalg.inv(camera_pose)
+    u, v, z = projector.project_points(points, world_to_camera)
+    valid = projector.valid_mask(u, v, z, depth_map)
+    w, h = projector.image_dims
+    uu = np.clip(u, 0, w - 1)
+    vv = np.clip(v, 0, h - 1)
+    labels = label_map[vv, uu].astype(np.int64)
+    return labels * valid, valid
+
+
+def vote_multiview_labels(
+    points: np.ndarray,
+    frames: list,  # [(label_map, depth_map, camera_pose), ...]
+    num_labels: int = 41,
+    projector: ProjectionHelper | None = None,
+) -> np.ndarray:
+    """Per-point majority vote over the frames in which the point is
+    visible (the reference's --maxpool 'majority voting in label
+    projection mode', project_multiview_labels.py:233-235); points never
+    seen stay 0 ('unannotated')."""
+    n = points.shape[0]
+    votes = np.zeros((n, num_labels), np.int32)
+    for label_map, depth_map, pose in frames:
+        labels, valid = project_frame_labels(
+            points, label_map, depth_map, pose, projector
+        )
+        votes[np.arange(n), labels] += valid.astype(np.int32)
+    seen = votes.sum(axis=1) > 0
+    return np.argmax(votes, axis=1) * seen
+
+
 def maxpool_multiview_features(
     points: np.ndarray,
     frames: list,  # [(feature_map, depth_map, camera_pose), ...]

@@ -90,6 +90,101 @@ def read_ply_vertices(path: str) -> dict:
     }
 
 
+def read_ply_faces(path: str) -> np.ndarray:
+    """Face indices (F, 3) from a PLY's face element (list property).
+
+    Supports ascii and binary_little_endian with the standard
+    `list uchar int vertex_indices` layout; vertex data is skipped using
+    the header's property table.
+    """
+    with open(path, "rb") as f:
+        fmt = None
+        elements = []  # [(name, count, [(prop_name, type) | ('list', ct, it)])]
+        cur = None
+        while True:
+            line = f.readline().decode("ascii", "ignore").strip()
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element"):
+                _, name, cnt = line.split()
+                cur = (name, int(cnt), [])
+                elements.append(cur)
+            elif line.startswith("property") and cur is not None:
+                parts = line.split()
+                if parts[1] == "list":
+                    cur[2].append(("list", parts[2], parts[3]))
+                else:
+                    cur[2].append((parts[2], parts[1]))
+            elif line == "end_header":
+                break
+
+        faces = []
+        for name, cnt, props in elements:
+            if name != "face":
+                # skip this element's data
+                if fmt == "ascii":
+                    for _ in range(cnt):
+                        f.readline()
+                else:
+                    if any(p[0] == "list" for p in props):
+                        raise ValueError(
+                            f"cannot skip binary list element {name}"
+                        )
+                    rec = "<" + "".join(
+                        _PLY_TYPES[t][0] for _, t in props
+                    )
+                    f.read(struct.calcsize(rec) * cnt)
+                continue
+            if fmt == "ascii":
+                for _ in range(cnt):
+                    vals = f.readline().split()
+                    k = int(vals[0])
+                    faces.append([int(x) for x in vals[1:1 + k]])
+            else:
+                count_fmt, idx_fmt = props[0][1], props[0][2]
+                cf = "<" + _PLY_TYPES[count_fmt][0]
+                isz = struct.calcsize("<" + _PLY_TYPES[idx_fmt][0])
+                for _ in range(cnt):
+                    (k,) = struct.unpack(cf, f.read(struct.calcsize(cf)))
+                    idx = struct.unpack(
+                        "<" + _PLY_TYPES[idx_fmt][0] * k, f.read(isz * k)
+                    )
+                    faces.append(list(idx))
+    return np.asarray(faces, np.int64)
+
+
+def write_ply_mesh(path: str, vertices: np.ndarray, faces: np.ndarray):
+    """Write an ascii PLY mesh; vertices (N, 6) xyz+rgb, faces (F, 3)."""
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n")
+        for name in ("x", "y", "z"):
+            f.write(f"property float {name}\n")
+        for name in ("red", "green", "blue"):
+            f.write(f"property uchar {name}\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\n")
+        f.write("end_header\n")
+        for v in vertices:
+            f.write(
+                f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f} "
+                f"{int(v[3])} {int(v[4])} {int(v[5])}\n"
+            )
+        for face in faces:
+            f.write("3 " + " ".join(str(int(i)) for i in face) + "\n")
+
+
+def align_vertices(vertices: np.ndarray, axis_align: np.ndarray) -> np.ndarray:
+    """Apply the scene meta's axisAlignment to xyz columns (the export's
+    aligned-mesh transform, export_scannet_axis_aligned_mesh.py:62-71)."""
+    out = np.array(vertices, np.float64, copy=True)
+    hom = np.concatenate(
+        [out[:, :3], np.ones((len(out), 1))], axis=1
+    )
+    out[:, :3] = (hom @ axis_align.T)[:, :3]
+    return out
+
+
 def read_mesh_vertices_rgb(path: str) -> np.ndarray:
     v = read_ply_vertices(path)
     return np.stack(

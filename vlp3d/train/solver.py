@@ -397,6 +397,14 @@ class Solver:
         )
         cap_vars = {"params": self.state.params["caption"]}
 
+        # jitted: eager nn_distance dispatches hundreds of tiny ops — a
+        # ~30 ms round trip each over the axon TPU tunnel
+        assign_objects = jax.jit(
+            lambda xyz, scores, centers: compute_objectness_loss(
+                xyz, scores, centers
+            )[3]
+        )
+
         loader = BatchIterator(
             self.val_dataset, cfg.train.batch_size, epoch=epoch,
             rng=self.np_rng,
@@ -425,7 +433,7 @@ class Solver:
                 }
             )
             out_np["lang_cap_ids"] = np.asarray(ys).reshape(b, k, -1)
-            _, _, _, assignment = compute_objectness_loss(
+            assignment = assign_objects(
                 jnp.asarray(out_np["aggregated_vote_xyz"]),
                 jnp.asarray(out_np["objectness_scores"]),
                 jnp.asarray(arrays["center_label"][..., :3]),
