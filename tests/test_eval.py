@@ -148,3 +148,58 @@ def test_parse_predictions_2d_nms_branch(rng):
     assert mask.shape == (b, k)
     assert mask.sum() > 0
     assert len(preds) == b
+
+
+def test_parse_predictions_classform(rng):
+    """VoteNet/ScanQA class-form decode (ap_helper_vqa.py:39-77): heading
+    from argmax bin + residual, size from mean_size_arr[argmax] +
+    residual, then the shared NMS path."""
+    from vlp3d.eval.detection import (
+        parse_predictions,
+        parse_predictions_classform,
+    )
+
+    b, k, ns, nh = 2, 6, 18, 1
+    mean_size = rng.uniform(0.5, 1.5, (ns, 3)).astype(np.float32)
+    center = rng.uniform(0, 4, (b, k, 3)).astype(np.float32)
+    size_scores = rng.normal(size=(b, k, ns)).astype(np.float32)
+    size_residuals = rng.normal(size=(b, k, ns, 3)).astype(np.float32) * 0.1
+    heading_scores = rng.normal(size=(b, k, nh)).astype(np.float32)
+    heading_residuals = np.zeros((b, k, nh), np.float32)
+    obj = rng.normal(size=(b, k, 2)).astype(np.float32)
+    sem = rng.normal(size=(b, k, 18)).astype(np.float32)
+    pc = rng.uniform(0, 4, (b, 512, 3)).astype(np.float32)
+
+    outputs = {
+        "center": center,
+        "heading_scores": heading_scores,
+        "heading_residuals": heading_residuals,
+        "size_scores": size_scores,
+        "size_residuals": size_residuals,
+        "objectness_scores": obj,
+        "sem_cls_scores": sem,
+        "point_clouds": pc,
+    }
+    mask, preds = parse_predictions_classform(outputs, {}, mean_size)
+
+    # manual decode -> shared path must agree exactly
+    scls = np.argmax(size_scores, -1)
+    size = mean_size[scls] + np.take_along_axis(
+        size_residuals, scls[..., None, None], -2
+    )[..., 0, :]
+    manual = {
+        "pred_center": center,
+        "pred_size": size,
+        "pred_heading": np.zeros((b, k), np.float32),  # 1 bin, res 0
+        "objectness_scores": obj,
+        "sem_cls_scores": sem,
+        "point_clouds": pc,
+    }
+    mask2, preds2 = parse_predictions(manual, {})
+    np.testing.assert_array_equal(mask, mask2)
+    assert len(preds) == len(preds2)
+    for a, c in zip(preds, preds2):
+        assert len(a) == len(c)
+        for (s1, box1, p1), (s2, box2, p2) in zip(a, c):
+            assert s1 == s2 and p1 == p2
+            np.testing.assert_allclose(box1, box2, atol=1e-6)

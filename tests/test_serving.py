@@ -36,3 +36,61 @@ def test_streamed_matches_single_batch():
             a["pred_center"], s["pred_center"], rtol=1e-5, atol=1e-5
         )
         assert np.isfinite(a["pred_size"]).all()
+
+
+def test_caption_predictor_streams():
+    """CaptionPredictor: per-proposal greedy captions, streamed == single."""
+    from vlp3d.serving import CaptionPredictor
+
+    config = tiny_config(no_caption=False, use_con=False)
+    model = JointNet(config)
+    b0 = make_batch(config, batch_size=2, num_points=256, istrain=0)
+    variables = jax.jit(
+        lambda b: model.init({"params": jax.random.key(0)}, b, train=True)
+    )(b0)
+    # forward variables: params incl. the trained caption submodule
+    pred = CaptionPredictor(config, variables, batch_size=2)
+
+    batches = [
+        {
+            k: np.asarray(
+                make_batch(config, batch_size=2, num_points=256, seed=s)[k]
+            )
+            for k in STREAM_KEYS
+        }
+        for s in range(2)
+    ]
+    outs = pred(batches)
+    assert len(outs) == 2
+    k = config.model.num_proposal
+    t = config.model.max_des_len + 2
+    for o in outs:
+        assert o["caption_ids"].shape == (2, k, t)
+        assert (o["caption_ids"][:, :, 0] == 101).all()  # CLS start
+        assert np.isfinite(o["pred_center"]).all()
+    single = pred([batches[0]])[0]
+    assert np.array_equal(single["caption_ids"], outs[0]["caption_ids"])
+
+
+def test_answer_predictor_topk():
+    from vlp3d.serving import AnswerPredictor
+
+    config = tiny_config(no_caption=True, use_con=False, use_answer=True)
+    model = JointNet(config)
+    b0 = make_batch(config, batch_size=2, num_points=256, istrain=0)
+    variables = jax.jit(
+        lambda b: model.init({"params": jax.random.key(0)}, b, train=False)
+    )(b0)
+    pred = AnswerPredictor(config, variables, topk=5, batch_size=2)
+    batch = {
+        k: np.asarray(
+            make_batch(config, batch_size=2, num_points=256, seed=7)[k]
+        )
+        for k in STREAM_KEYS
+    }
+    out = pred([batch])[0]
+    assert out["answer_top_ids"].shape[-1] == 5
+    # top-1 id really is the argmax of the scores
+    flat = out["answer_scores"].reshape(-1, out["answer_scores"].shape[-1])
+    ids = out["answer_top_ids"].reshape(-1, 5)
+    np.testing.assert_array_equal(ids[:, 0], np.argmax(flat, -1))

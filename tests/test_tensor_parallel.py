@@ -90,3 +90,36 @@ def test_tp_matches_dp_loss():
         s_tp2.params["lang"]["text_encoder"]["layer_0"]["query"]["kernel"]
     )
     assert np.isfinite(lt).all()
+
+
+def test_solver_tp_smoke(tmp_path):
+    """Solver(tp=2) trains a tiny config on the (4, 2) virtual mesh."""
+    from vlp3d.data.synthetic import make_synthetic_dataset
+    from vlp3d.data.dataset import BatchIterator
+    from vlp3d.train.solver import Solver
+    import dataclasses
+
+    config = tiny_config()
+    config = dataclasses.replace(
+        config, train=dataclasses.replace(config.train, batch_size=4,
+                                          epochs=1)
+    )
+    train_ds = make_synthetic_dataset(config, n_scenes=4, anns_per_scene=5)
+    val_ds = make_synthetic_dataset(
+        config, n_scenes=2, anns_per_scene=2, split="val", seed=3
+    )
+    solver = Solver(config, train_ds, val_ds, str(tmp_path), tp=2)
+    assert solver.mesh.shape == {"data": 4, "model": 2}
+    sample = next(iter(BatchIterator(train_ds, 4)))
+    sample = {k: v for k, v in sample.items() if not isinstance(v, list)}
+    solver.init_state(sample)
+    from vlp3d.parallel.tensor_parallel import MODEL_AXIS
+
+    specs = jax.tree.leaves(
+        jax.tree.map(lambda x: str(x.sharding.spec), solver.state.params)
+    )
+    assert any(MODEL_AXIS in s for s in specs)
+    metrics = solver.train_epoch(0)
+    assert np.isfinite(metrics["loss"])
+    val = solver.eval_epoch(0)
+    assert np.isfinite(val["iou_rate_0.25"])

@@ -62,6 +62,11 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--use_checkpoint", type=str, default="")
     p.add_argument("--pretrain", type=str, default="")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree: train over a 2D "
+                        "(data, model) mesh with Megatron-style weight "
+                        "shardings (TPU-native extension; the reference "
+                        "is DataParallel-only)")
     p.add_argument("--synthetic", action="store_true",
                    help="use synthetic scenes (no ScanNet needed)")
     p.add_argument("--smoke", action="store_true",

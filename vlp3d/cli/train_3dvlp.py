@@ -65,6 +65,7 @@ def main(argv=None):
         log_every=getattr(args, "verbose", 10),
         criterion=getattr(args, "criterion", "sum"),
         val_step=getattr(args, "val_step", 2000),
+        tp=getattr(args, "tp", 1),
         seed=args.seed,
     )
     sample = next(iter(BatchIterator(train_ds, config.train.batch_size)))

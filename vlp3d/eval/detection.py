@@ -98,6 +98,48 @@ DEFAULT_POST_DICT = {
 }
 
 
+def parse_predictions_classform(
+    outputs: dict,
+    config: dict,
+    mean_size_arr: np.ndarray,
+    num_heading_bin: int = 1,
+    num_class: int = 18,
+):
+    """VoteNet/ScanQA-style class-form predictions -> NMS'd proposal lists.
+
+    The ap_helper_votenet/ap_helper_vqa variant
+    (lib/ap_helper/ap_helper_vqa.py:39-77): heading = argmax class bin's
+    angle + its residual (class2angle — identically 0 on ScanNet with one
+    bin, model_util_scannet.py:133-143), size = mean_size_arr[argmax size
+    class] + its residual; the decoded boxes then go through the shared
+    parse_predictions NMS path.
+
+    outputs needs: center, heading_scores (B,K,NH), heading_residuals,
+    size_scores (B,K,NS), size_residuals (B,K,NS,3), objectness_scores,
+    sem_cls_scores, point_clouds (via config batch).
+    """
+    heading_scores = np.asarray(outputs["heading_scores"])
+    heading_residuals = np.asarray(outputs["heading_residuals"])
+    size_scores = np.asarray(outputs["size_scores"])
+    size_residuals = np.asarray(outputs["size_residuals"])
+    hcls = np.argmax(heading_scores, -1)
+    hres = np.take_along_axis(heading_residuals, hcls[..., None], -1)[..., 0]
+    angle = hcls * (2 * np.pi / num_heading_bin) + hres
+    angle = np.where(angle > np.pi, angle - 2 * np.pi, angle)
+    scls = np.argmax(size_scores, -1)
+    sres = np.take_along_axis(
+        size_residuals, scls[..., None, None], -2
+    )[..., 0, :]
+    size = mean_size_arr[scls] + sres
+    decoded = {
+        **outputs,
+        "pred_center": np.asarray(outputs["center"]),
+        "pred_size": size,
+        "pred_heading": angle,
+    }
+    return parse_predictions(decoded, config, num_class=num_class)
+
+
 def parse_predictions(outputs: dict, config: dict, num_class: int = 18,
                       nms_soft_sem_score: bool = True):
     """outputs: numpy dict with pred_center/pred_size/pred_heading,

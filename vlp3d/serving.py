@@ -34,6 +34,141 @@ STREAM_KEYS = (
 SCALAR_KEYS = ("epoch", "istrain", "random")
 
 
+class _StreamingPredictor:
+    """Shared streaming harness: one jitted lax.scan dispatch per list of
+    equally-shaped batches (subclass provides `_predict`)."""
+
+    def __init__(self, config: Config, variables, *, batch_size: int = 8):
+        self.config = config
+        self.variables = variables
+        self.batch_size = batch_size
+        self.model = JointNet(config)
+        self._scalars = {
+            "epoch": jnp.int32(0),
+            "istrain": jnp.int32(0),
+            "random": jnp.float32(0.25),
+        }
+
+        predict = self._predict
+
+        @jax.jit
+        def run_stream(variables, stream, scalars):
+            def step(_, b):
+                return None, predict(variables, {**b, **scalars})
+
+            return jax.lax.scan(step, None, stream)[1]
+
+        self._run_stream = run_stream
+        self._run_one = jax.jit(
+            lambda v, b: predict(v, {**b, **self._scalars})
+        )
+
+    def __call__(self, batches: list[dict]) -> list[dict]:
+        """batches: host batch dicts with STREAM_KEYS arrays of identical
+        shapes. One device dispatch for the whole list."""
+        if len(batches) == 1:
+            out = self._run_one(
+                self.variables,
+                {k: jnp.asarray(batches[0][k]) for k in STREAM_KEYS},
+            )
+            return [jax.device_get(out)]
+        stream = {
+            k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+            for k in STREAM_KEYS
+        }
+        outs = jax.device_get(
+            self._run_stream(self.variables, stream, self._scalars)
+        )
+        n = len(batches)
+        return [
+            {k: np.asarray(v[i]) for k, v in outs.items()} for i in range(n)
+        ]
+
+
+class CaptionPredictor(_StreamingPredictor):
+    """Streaming Scan2Cap serving: grounding forward + KV-cached greedy
+    caption decode per proposal, one dispatch per batch stream.
+
+    `config` should have no_caption=True for the forward (the caption
+    branch is train-only in JointNet); `variables` must still CONTAIN
+    the trained `caption` submodule params — pass them via
+    `caption_params` when the forward variables lack them."""
+
+    def __init__(
+        self,
+        config: Config,
+        variables,
+        *,
+        caption_params=None,
+        batch_size: int = 8,
+    ):
+        from vlp3d.models.caption import CaptionDecoder, greedy_decode
+
+        cap = (
+            caption_params
+            if caption_params is not None
+            else variables["params"]["caption"]
+        )
+        decoder = CaptionDecoder(
+            vocab_size=config.model.vocab_size,
+            max_len=config.model.max_des_len + 2,
+        )
+        max_des_len = config.model.max_des_len
+
+        def predict(variables, b):
+            # is_eval: the in-module caption branch is train-only (it
+            # needs ref labels); decoding happens below via greedy_decode
+            out = self.model.apply(variables, b, train=False, is_eval=True)
+            feats = out["aggregated_vote_features"]
+            bsz, k, c = feats.shape
+            obj_token = (feats * 2.0).reshape(bsz * k, 1, c)
+            ys = greedy_decode(
+                decoder, {"params": cap}, obj_token, max_des_len
+            )
+            return {
+                "caption_ids": ys.reshape(bsz, k, -1),
+                "pred_center": out["pred_center"],
+                "pred_size": out["pred_size"],
+                "pred_heading": out["pred_heading"],
+                "objectness_scores": out["objectness_scores"],
+                "sem_cls_scores": out["sem_cls_scores"],
+            }
+
+        self._predict = predict
+        super().__init__(config, variables, batch_size=batch_size)
+
+
+class AnswerPredictor(_StreamingPredictor):
+    """Streaming ScanQA serving: joint forward with the answer head,
+    returning top-k answer ids + scores per question.
+
+    `config` must have use_answer=True."""
+
+    def __init__(
+        self, config: Config, variables, *, topk: int = 10,
+        batch_size: int = 8,
+    ):
+        assert config.model.use_answer, "AnswerPredictor needs use_answer"
+
+        def predict(variables, b):
+            out = self.model.apply(variables, b, train=False, is_eval=True)
+            scores = out["answer_scores"]  # (B[, L], num_answers)
+            scores2 = scores.reshape(-1, scores.shape[-1])
+            top_scores, top_ids = jax.lax.top_k(scores2, topk)
+            return {
+                "answer_scores": scores,
+                "answer_top_ids": top_ids.reshape(
+                    scores.shape[:-1] + (topk,)
+                ),
+                "answer_top_scores": top_scores.reshape(
+                    scores.shape[:-1] + (topk,)
+                ),
+            }
+
+        self._predict = predict
+        super().__init__(config, variables, batch_size=batch_size)
+
+
 class GroundingPredictor:
     """Jitted streaming ScanRefer grounding inference on one chip.
 
@@ -53,7 +188,7 @@ class GroundingPredictor:
         }
 
         def predict(variables, b):
-            out = self.model.apply(variables, b, train=False)
+            out = self.model.apply(variables, b, train=False, is_eval=True)
             masks = out["objectness_masks"]  # (B, K)
             bsz, l = b["input_ids"].shape[:2]
             conf = out["cluster_ref"].reshape(bsz, l, -1)

@@ -53,6 +53,7 @@ class Solver:
         log_every: int = 50,
         criterion: str = "sum",
         mesh=None,
+        tp: int = 1,
         seed: int = 42,
         caption_eval_ctx: dict | None = None,
     ):
@@ -81,8 +82,22 @@ class Solver:
         # Solver to enable this.
         self.n_proc = jax.process_count()
         self.is_main = jax.process_index() == 0
+        # tp > 1: a 2D (data, model) mesh with Megatron-style weight
+        # shardings (parallel/tensor_parallel.py) — a TPU-native extension
+        # beyond the reference's DataParallel-only story
+        self.tp = tp
         if mesh is not None:
             self.mesh = mesh
+        elif tp > 1:
+            from vlp3d.parallel.tensor_parallel import make_mesh_2d
+
+            n_dev = len(jax.devices())
+            if n_dev % tp:
+                raise ValueError(f"{n_dev} devices not divisible by tp={tp}")
+            dp = n_dev // tp
+            while dp > 1 and config.train.batch_size % dp:
+                dp -= 1
+            self.mesh = make_mesh_2d(dp, tp)
         elif self.n_proc > 1:
             from vlp3d.parallel.distributed import global_mesh
 
@@ -192,6 +207,10 @@ class Solver:
             from vlp3d.parallel.distributed import replicate_global
 
             self.state = replicate_global(self.mesh, self.state)
+        elif self.tp > 1:
+            from vlp3d.parallel.tensor_parallel import shard_state
+
+            self.state = shard_state(self.mesh, self.state)
         else:
             self.state = replicate(self.mesh, self.state)
 
