@@ -114,9 +114,10 @@ def _ball_query_chunk(centers, xyz, radius, nsample):
 
     slot_valid = targets[None, None, :] <= count[..., None]
     first = jnp.where(count[..., None] > 0, idx[..., :1], 0)
-    return jnp.where(slot_valid, jnp.minimum(idx, n - 1), first).astype(
+    padded = jnp.where(slot_valid, jnp.minimum(idx, n - 1), first).astype(
         jnp.int32
     )
+    return padded, count
 
 
 def ball_query(
@@ -139,6 +140,24 @@ def ball_query(
     Returns:
       (B, M, nsample) int32 indices into N.
     """
+    return ball_query_with_count(
+        radius, nsample, xyz, new_xyz, chunk=chunk
+    )[0]
+
+
+def ball_query_with_count(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    *,
+    chunk: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Like :func:`ball_query`, but also returns the per-center in-ball
+    count (B, M) int32 (the number of support points strictly inside the
+    radius, before padding). Used by the point-sharded merge
+    (vlp3d.parallel.point_parallel), which needs to know how many valid
+    neighbours each shard contributed."""
     b, m, _ = new_xyz.shape
     xyz = lax.stop_gradient(xyz.astype(jnp.float32))
     new_xyz = lax.stop_gradient(new_xyz.astype(jnp.float32))
@@ -153,9 +172,10 @@ def ball_query(
         c = lax.dynamic_slice(centers, (0, i * chunk, 0), (b, chunk, 3))
         return _ball_query_chunk(c, xyz, radius, nsample)
 
-    out = lax.map(one, jnp.arange(nchunks))  # (nchunks, B, chunk, nsample)
+    out, cnt = lax.map(one, jnp.arange(nchunks))
     out = jnp.moveaxis(out, 0, 1).reshape(b, nchunks * chunk, nsample)
-    return out[:, :m]
+    cnt = jnp.moveaxis(cnt, 0, 1).reshape(b, nchunks * chunk)
+    return out[:, :m], cnt[:, :m]
 
 
 def query_and_group(
