@@ -142,6 +142,46 @@ def test_large_scene_front_matches_dense_sa_inputs(rng):
     )
 
 
+def test_backbone_large_scene_matches_dense(rng):
+    """apply_backbone_large_scene == dense backbone.apply with the SAME
+    variables (the SP front end feeds SA1's fused param tree exactly)."""
+    from vlp3d.models.backbone import (
+        PointNet2Backbone, apply_backbone_large_scene,
+    )
+
+    backbone = PointNet2Backbone(
+        input_feature_dim=2,
+        npoints=(64, 32, 16, 8),
+        radii=(0.3, 0.5, 0.8, 1.2),
+        nsamples=(8, 8, 4, 4),
+    )
+    pc = jnp.asarray(
+        np.concatenate(
+            [
+                np.asarray(_cloud(rng, b=2, n=512)),
+                rng.standard_normal((2, 512, 2)).astype(np.float32),
+            ],
+            axis=-1,
+        )
+    )
+    variables = backbone.init(jax.random.key(0), pc)
+    dense = backbone.apply(variables, pc)
+
+    mesh = make_mesh_point(4, 1)
+    sharded = apply_backbone_large_scene(backbone, variables, pc, mesh)
+    assert dense.keys() == sharded.keys()
+    np.testing.assert_array_equal(
+        np.asarray(dense["sa1_inds"]), np.asarray(sharded["sa1_inds"])
+    )
+    for k in dense:
+        np.testing.assert_allclose(
+            np.asarray(dense[k]),
+            np.asarray(sharded[k]),
+            atol=2e-5,
+            err_msg=k,
+        )
+
+
 def test_large_scene_front_dp_x_sp(rng):
     """2D (data, point) mesh: batch over data, points over point."""
     xyz = _cloud(rng, b=4)

@@ -26,8 +26,19 @@ class PointNet2Backbone(nn.Module):
     nsamples: tuple = (64, 32, 16, 16)
 
     @nn.compact
-    def __call__(self, point_clouds: jax.Array, *, train: bool = False):
+    def __call__(
+        self,
+        point_clouds: jax.Array,
+        *,
+        train: bool = False,
+        sa1_precomputed: tuple | None = None,
+    ):
         """point_clouds: (B, N, 3 + input_feature_dim).
+
+        sa1_precomputed: optional (new_xyz, grouped, inds) for SA1 from
+        the point-sharded large-scene front end (see
+        apply_backbone_large_scene); when given, the raw N-point cloud is
+        never touched here and N may exceed single-chip capacity.
 
         Returns dict with sa*_xyz/features/inds and fp2_* seed outputs.
         """
@@ -42,7 +53,7 @@ class PointNet2Backbone(nn.Module):
         sa1_xyz, sa1_f, sa1_inds = SAModule(
             np_[0], r[0], ns[0], [64, 64, 128], bn_momentum=m, name="sa1", dtype=dt,
             leaf_inputs=True,  # raw inputs: scatter-free backward
-        )(xyz, features, train=train)
+        )(xyz, features, train=train, precomputed=sa1_precomputed)
         sa2_xyz, sa2_f, sa2_inds = SAModule(
             np_[1], r[1], ns[1], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa2"
         )(sa1_xyz, sa1_f, train=train)
@@ -77,3 +88,54 @@ class PointNet2Backbone(nn.Module):
             # indices into the raw input cloud (backbone_module.py:134)
             "fp2_inds": sa1_inds[:, :num_seed],
         }
+
+
+def apply_backbone_large_scene(
+    backbone: PointNet2Backbone,
+    variables,
+    point_clouds: jax.Array,
+    mesh,
+    *,
+    train: bool = False,
+    mutable=False,
+):
+    """Run the backbone on a scene too large for one chip.
+
+    The raw-point stage (SA1's FPS / ball query / neighbourhood grouping
+    — the only place the full N-point cloud is touched) runs
+    point-sharded over the mesh's 'point' axis
+    (vlp3d.parallel.point_parallel.large_scene_front, exact parity vs
+    the dense ops); the dense remainder of the backbone then runs on the
+    small M=npoints[0] outputs with the SAME variables as a dense apply.
+
+    Args:
+      point_clouds: (B, N, 3 + input_feature_dim); shard it over the
+        mesh's (data, point) axes with
+        `NamedSharding(mesh, P('data', 'point', None))` so N never
+        materializes on one device.
+      mesh: a Mesh with a 'point' axis (make_mesh_point).
+
+    Returns the standard backbone output dict (same as `apply`).
+    """
+    from vlp3d.parallel.point_parallel import large_scene_front
+
+    xyz = point_clouds[..., :3]
+    features = (
+        point_clouds[..., 3:] if point_clouds.shape[-1] > 3 else None
+    )
+    front = large_scene_front(
+        mesh,
+        npoint=backbone.npoints[0],
+        radius=backbone.radii[0],
+        nsample=backbone.nsamples[0],
+        use_xyz=True,
+        normalize_xyz=True,
+    )
+    new_xyz, grouped, inds = front(xyz, features)
+    return backbone.apply(
+        variables,
+        point_clouds,
+        train=train,
+        sa1_precomputed=(new_xyz, grouped, inds),
+        mutable=mutable,
+    )

@@ -92,26 +92,42 @@ class SAModule(nn.Module):
         inds: jax.Array | None = None,
         *,
         train: bool = False,
+        precomputed: tuple | None = None,
     ):
         """xyz (B, N, 3); features (B, N, C) or None.
+
+        precomputed: optional (new_xyz, grouped, inds) from an external
+        front end (the point-sharded large-scene path,
+        vlp3d.parallel.point_parallel.large_scene_front): grouped is
+        (B, npoint, nsample, 3[+C]) with the leading 3 channels already
+        recentred (and radius-normalized when normalize_xyz); the module
+        then only runs the MLP stack, with the SAME param tree as the
+        dense path.
 
         Returns (new_xyz (B, npoint, 3), new_features (B, npoint, mlp[-1]),
         inds (B, npoint) i32).
         """
-        if inds is None:
-            inds = furthest_point_sample(xyz, self.npoint)
-        new_xyz = gather_points(xyz, inds)
+        if precomputed is not None:
+            new_xyz, grouped_pre, inds = precomputed
+        else:
+            grouped_pre = None
+            if inds is None:
+                inds = furthest_point_sample(xyz, self.npoint)
+            new_xyz = gather_points(xyz, inds)
 
         if not (self.fuse_first_layer and self.use_xyz and features is not None):
-            grouped, _ = query_and_group(
-                self.radius,
-                self.nsample,
-                xyz,
-                new_xyz,
-                features,
-                use_xyz=self.use_xyz,
-                normalize_xyz=self.normalize_xyz,
-            )  # (B, npoint, nsample, 3 + C)
+            if grouped_pre is not None:
+                grouped = grouped_pre
+            else:
+                grouped, _ = query_and_group(
+                    self.radius,
+                    self.nsample,
+                    xyz,
+                    new_xyz,
+                    features,
+                    use_xyz=self.use_xyz,
+                    normalize_xyz=self.normalize_xyz,
+                )  # (B, npoint, nsample, 3 + C)
             out = PointMLP(
                 self.mlp, bn_momentum=self.bn_momentum, dtype=self.dtype
             )(grouped, train=train)
@@ -126,9 +142,13 @@ class SAModule(nn.Module):
         w_xyz = nn.Dense(c0, use_bias=False, name="first_xyz")
         w_feat = nn.Dense(c0, use_bias=False, name="first_feat")
 
-        idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
         scale = 1.0 / self.radius if self.normalize_xyz else 1.0
-        if self.leaf_inputs and train:
+        if grouped_pre is not None:
+            # externally grouped raw rows (xyz half already recentred and
+            # scaled); identical math + param tree to the paths below
+            x = w_feat(grouped_pre[..., 3:]) + w_xyz(grouped_pre[..., :3])
+        elif self.leaf_inputs and train:
+            idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
             # xyz/features are raw inputs: gather rows FIRST (the gather
             # has no VJP to compute), then apply the split first linear.
             src = jax.lax.stop_gradient(
@@ -140,6 +160,7 @@ class SAModule(nn.Module):
             ) * scale
             x = w_feat(grouped[..., 3:]) + w_xyz(gxyz)
         else:
+            idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
             # Fold the xyz half into the gathered tensor:
             # W(g(xyz) - c)/r == g(W(xyz))/r - W(c)/r, so ONE gather moves
             # both the feature pre-activations and the recentred-coordinate
