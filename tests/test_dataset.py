@@ -124,6 +124,31 @@ def test_collate_and_iterator():
     assert batches[0]["input_ids"].shape == (2, 4, 16)
 
 
+def test_multiworker_iterator_identical_stream():
+    """num_workers must not change the batch stream (order, contents, or
+    random gates)."""
+    ds = build_dataset()
+    ref = list(
+        BatchIterator(
+            ds, batch_size=1, epoch=1, rng=np.random.default_rng(5)
+        )
+    )
+    for w in (2, 3):
+        got = list(
+            BatchIterator(
+                ds, batch_size=1, epoch=1, num_workers=w,
+                rng=np.random.default_rng(5),
+            )
+        )
+        assert len(got) == len(ref)
+        for a, b in zip(ref, got):
+            assert a.keys() == b.keys()
+            assert float(a["random"]) == float(b["random"])
+            for k in a:
+                if isinstance(a[k], np.ndarray):
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_scene_object_rotation_fields():
     """Scan2CAD orientation fields appear when object_rotations is given
     (dataset.py:797-809); absent otherwise."""

@@ -62,6 +62,10 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--use_checkpoint", type=str, default="")
     p.add_argument("--pretrain", type=str, default="")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="loader worker threads (reference DataLoader "
+                        "num_workers=4, train_3dvlp.py:48-77); the batch "
+                        "stream is identical for any value")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: train over a 2D "
                         "(data, model) mesh with Megatron-style weight "
@@ -192,6 +196,7 @@ def config_from_args(args) -> Config:
             weight_decay=args.wd,
             amsgrad=getattr(args, "amsgrad", False),
             seed=args.seed,
+            num_workers=getattr(args, "num_workers", 4),
         ),
     )
 

@@ -118,6 +118,9 @@ class TrainConfig:
     bn_decay_step: int = 20
     bn_momentum_min: float = 1e-3
     seed: int = 42
+    # loader worker threads (reference DataLoader num_workers=4,
+    # train_3dvlp.py:48-77); batch stream is identical for any value
+    num_workers: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -207,7 +207,8 @@ class ScanReferJointDataset:
         self.use_height = use_height
         self.should_shuffle = shuffle
         self.bert_max_len = bert_max_len
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._shuffle_round = 0
         self.prompt = Prompt()
         # rare-class duplication (dataset.py:446, 483-485, 561-565):
         # a sentence about a minor-class object is repeated in the next slot
@@ -309,6 +310,7 @@ class ScanReferJointDataset:
         self.chunks = self.split_scene_new(self.scanrefer)
         if self.should_shuffle:
             pyrandom.shuffle(self.chunks)
+        self._shuffle_round += 1
         assert len(self.chunks) == self.num_chunks
 
     def __len__(self):
@@ -316,7 +318,12 @@ class ScanReferJointDataset:
 
     # -------------------------------------------------- item
     def __getitem__(self, idx: int) -> dict:
-        rng = self.rng
+        # counter-based per-item stream keyed on (seed, epoch round, idx):
+        # deterministic AND independent of loader worker count / item
+        # evaluation order (a shared sequential Generator would make the
+        # stream depend on thread interleaving; torch's per-worker seeding
+        # makes the reference's stream depend on num_workers instead)
+        rng = np.random.default_rng((self.seed, self._shuffle_round, idx))
         chunk = self.chunks[idx]
         istrain = 1 if self.split == "train" else 0
         lang_num = len(chunk)
@@ -567,45 +574,69 @@ def collate(items: list, *, random_gate: float, epoch: int) -> dict:
 
 
 class BatchIterator:
-    """Minimal threaded prefetch loader (replaces torch DataLoader workers +
-    the CUDA-stream Prefetcher, lib/joint/prefetcher.py)."""
+    """Threaded prefetch loader (replaces torch DataLoader workers + the
+    CUDA-stream Prefetcher, lib/joint/prefetcher.py).
+
+    num_workers > 1 stripes batches across worker threads (batch b on
+    worker b % W, consumed in order through per-worker bounded queues) —
+    the numpy-heavy __getitem__ releases the GIL for most of its time,
+    so workers scale on multi-core hosts like the reference's
+    num_workers=4 DataLoader. The batch stream is IDENTICAL for any
+    worker count: random gates are drawn for all batches upfront from
+    the iterator's rng, and item order within a batch is fixed."""
 
     def __init__(self, dataset, batch_size: int, *, epoch: int = 0,
                  drop_last: bool = True, prefetch: int = 2,
+                 num_workers: int = 1,
                  rng: np.random.Generator | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.epoch = epoch
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
         self.rng = rng or np.random.default_rng(0)
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _make_batch(self, b: int, gate: float):
+        idxs = range(
+            b * self.batch_size,
+            min((b + 1) * self.batch_size, len(self.dataset)),
+        )
+        items = [self.dataset[i] for i in idxs]
+        return collate(items, random_gate=gate, epoch=self.epoch)
+
     def __iter__(self):
         import queue
         import threading
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         n_batches = len(self)
+        # one draw per batch, in batch order — worker count cannot
+        # change the stream
+        gates = [float(self.rng.random()) for _ in range(n_batches)]
+        w = min(self.num_workers, max(n_batches, 1))
+        queues = [queue.Queue(maxsize=self.prefetch) for _ in range(w)]
 
-        def worker():
-            for b in range(n_batches):
-                idxs = range(
-                    b * self.batch_size,
-                    min((b + 1) * self.batch_size, len(self.dataset)),
-                )
-                items = [self.dataset[i] for i in idxs]
-                gate = float(self.rng.random())
-                q.put(collate(items, random_gate=gate, epoch=self.epoch))
-            q.put(None)
+        def worker(wid: int):
+            for b in range(wid, n_batches, w):
+                queues[wid].put(self._make_batch(b, gates[b]))
+            queues[wid].put(None)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
+        threads = [
+            threading.Thread(target=worker, args=(i,), daemon=True)
+            for i in range(w)
+        ]
+        for t in threads:
+            t.start()
+        done = 0
+        b = 0
+        while done < w:
+            item = queues[b % w].get()
             if item is None:
-                break
-            yield item
+                done += 1
+            else:
+                yield item
+            b += 1

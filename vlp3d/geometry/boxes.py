@@ -24,7 +24,9 @@ import numpy as np
 
 # Corner sign pattern (8, 3) in the reference's order (box_util.py:375-380):
 # x: +,+,-,-,+,+,-,-   y: +,-,-,+,+,-,-,+   z: +,+,+,+,-,-,-,-
-_CORNER_SIGNS = jnp.array(
+# numpy constant: jnp ops accept it, and the host-path (numpy-in,
+# numpy-out) branch of get_3d_box_batch must not touch the device.
+_CORNER_SIGNS = np.array(
     [
         [1, 1, 1],
         [1, -1, 1],
@@ -35,7 +37,7 @@ _CORNER_SIGNS = jnp.array(
         [-1, -1, -1],
         [-1, 1, -1],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 
@@ -85,13 +87,30 @@ def get_3d_box_batch(
     The rotation is expanded elementwise instead of a batched (8,3)@(3,3)
     dot_general — the tiny-matmul form costs SECONDS on TPU (measured ~4s
     at B=8, K=256 inside the full graph; this form is ~free).
+
+    Array-namespace generic: numpy inputs stay in numpy (numpy out). The
+    host data path calls this per item; with jnp unconditionally, every
+    call eagerly dispatched ~12 ops to the default (TPU-over-tunnel)
+    backend — measured ~90 ms/item steady state and a first-item compile
+    storm of minutes.
     """
+    xp = (
+        np
+        if all(
+            isinstance(a, (np.ndarray, np.generic, float, int))
+            for a in (box_size, heading_angle, center)
+        )
+        else jnp
+    )
+    box_size = xp.asarray(box_size)
+    heading_angle = xp.asarray(heading_angle)
+    center = xp.asarray(center)
     half = box_size[..., None, :] * _CORNER_SIGNS / 2.0  # (..., 8, 3)
-    c = jnp.cos(heading_angle)[..., None]
-    s = jnp.sin(heading_angle)[..., None]
+    c = xp.cos(heading_angle)[..., None]
+    s = xp.sin(heading_angle)[..., None]
     hx, hy, hz = half[..., 0], half[..., 1], half[..., 2]
     # half @ roty(t)^T with roty rows [(c,0,s), (0,1,0), (-s,0,c)]
-    out = jnp.stack(
+    out = xp.stack(
         [hx * c + hz * s, hy, -hx * s + hz * c], axis=-1
     )
     return out + center[..., None, :]

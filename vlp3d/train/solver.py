@@ -257,6 +257,7 @@ class Solver:
             self.train_dataset,
             cfg.train.batch_size,
             epoch=epoch,
+            num_workers=cfg.train.num_workers,
             rng=self.np_rng,
         )
         _, train_step, _ = self._get_steps(epoch)
@@ -306,6 +307,7 @@ class Solver:
             cfg.train.batch_size,
             epoch=epoch,
             drop_last=False,
+            num_workers=cfg.train.num_workers,
             rng=self.np_rng,
         )
         _, _, eval_step = self._get_steps(epoch)
@@ -426,7 +428,7 @@ class Solver:
 
         loader = BatchIterator(
             self.val_dataset, cfg.train.batch_size, epoch=epoch,
-            rng=self.np_rng,
+            num_workers=cfg.train.num_workers, rng=self.np_rng,
         )
         candidates: dict = {}
         for batch in loader:
