@@ -240,8 +240,10 @@ def build_datasets(args, config: Config):
         # the reference accepts only ScanRefer (train_3dvlp.py:261-262)
         raise ValueError("Invalid dataset.")
     if args.synthetic:
+        n_scenes = getattr(args, "num_scenes", -1)
         train = make_synthetic_dataset(
-            config, n_scenes=4, anns_per_scene=10, augment=True,
+            config, n_scenes=n_scenes if n_scenes > 0 else 4,
+            anns_per_scene=10, augment=True,
             shuffle=True, seed=args.seed,
         )
         val = make_synthetic_dataset(
