@@ -149,6 +149,33 @@ def test_multiworker_iterator_identical_stream():
                     np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+def test_multiworker_iterator_raises_worker_error():
+    """A worker-thread exception must surface in the consumer, not hang
+    the iterator (the pre-round-2d per-worker-queue design could hang)."""
+    ds = build_dataset()
+
+    class Boom(RuntimeError):
+        pass
+
+    class FailingDataset:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise Boom("item 2")
+            return ds[i]
+
+    import pytest
+
+    it = BatchIterator(
+        FailingDataset(), batch_size=1, epoch=0, num_workers=3,
+        rng=np.random.default_rng(0),
+    )
+    with pytest.raises(Boom):
+        list(it)
+
+
 def test_scene_object_rotation_fields():
     """Scan2CAD orientation fields appear when object_rotations is given
     (dataset.py:797-809); absent otherwise."""

@@ -87,7 +87,8 @@ def main(argv=None):
     }
 
     outputs: dict = {}
-    loader = BatchIterator(val_ds, config.train.batch_size, drop_last=False)
+    loader = BatchIterator(val_ds, config.train.batch_size, drop_last=False,
+                           num_workers=config.train.num_workers)
     for batch in loader:
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
         out = jax.device_get(infer(state.params, state.batch_stats, arrays))

@@ -42,7 +42,8 @@ def main(argv=None):
 
     model = JointNet(config)
     loader = BatchIterator(
-        val_ds, config.train.batch_size, drop_last=True
+        val_ds, config.train.batch_size, drop_last=True,
+        num_workers=config.train.num_workers,
     )
     sample = next(iter(loader))
     sample = {k: v for k, v in sample.items() if not isinstance(v, list)}

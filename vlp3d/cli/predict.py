@@ -64,7 +64,8 @@ def main(argv=None):
 
     preds = []
     loader = BatchIterator(
-        val_ds, config.train.batch_size, drop_last=False
+        val_ds, config.train.batch_size, drop_last=False,
+        num_workers=config.train.num_workers,
     )
     for batch in loader:
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}

@@ -24,6 +24,7 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--tag", type=str, default="")
+    p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--scanrefer_dir", type=str, default="data/scanrefer")
     p.add_argument("--scannet_data", type=str, default="data/scannet_data")
@@ -207,6 +208,7 @@ def main(argv=None):
         train_ds.shuffle_data()
         metrics = {}
         for batch in BatchIterator(train_ds, args.batch_size, epoch=epoch,
+                                   num_workers=args.num_workers,
                                    rng=rng):
             jrng, step_rng = jax.random.split(jrng)
             params, batch_stats, opt_state, metrics = train_step(
@@ -220,6 +222,7 @@ def main(argv=None):
             accs, cls = [], []
             for batch in BatchIterator(val_ds, args.batch_size,
                                        drop_last=False,
+                                       num_workers=args.num_workers,
                                        rng=np.random.default_rng(0)):
                 m = eval_step(params, batch_stats, prep(batch))
                 accs.append(float(m["cap_acc"]))

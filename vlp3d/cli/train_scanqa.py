@@ -24,6 +24,7 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--tag", type=str, default="")
+    p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--scanqa_dir", type=str, default="data/scanqa")
     p.add_argument("--scannet_data", type=str, default="data/scannet_data")
@@ -216,6 +217,7 @@ def main(argv=None):
         train_ds.shuffle_data()
         metrics = {}
         for batch in BatchIterator(train_ds, args.batch_size, epoch=epoch,
+                                   num_workers=args.num_workers,
                                    rng=rng):
             batch = _squeeze_l(
                 {k: v for k, v in batch.items() if not isinstance(v, list)}
@@ -232,6 +234,7 @@ def main(argv=None):
             acc1s, acc10s = [], []
             for batch in BatchIterator(val_ds, args.batch_size,
                                        drop_last=False,
+                                       num_workers=args.num_workers,
                                        rng=np.random.default_rng(0)):
                 batch = _squeeze_l(
                     {k: v for k, v in batch.items()

@@ -125,10 +125,16 @@ class DirectorySceneSource:
     columns when the preprocess npy doesn't already bake them in."""
 
     def __init__(self, root: str, multiview_hdf5: str | None = None):
+        import threading
+
         self.root = root
         self.cache: dict = {}
         self.multiview_hdf5 = multiview_hdf5
         self._mv = None  # lazily opened per process (h5py is not fork-safe)
+        # loader worker threads call __call__ concurrently; serialize the
+        # lazy h5py open and first-touch cache fill (h5py reads are not
+        # thread-safe on one handle, and a race leaked file descriptors)
+        self._lock = threading.Lock()
 
     def _multiview(self, scene_id: str):
         if self._mv is None:
@@ -139,20 +145,24 @@ class DirectorySceneSource:
 
     def __call__(self, scene_id: str, split: str) -> dict:
         key = (scene_id, split)
-        if key not in self.cache:
-            p = os.path.join(self.root, scene_id)
-            point_cloud = np.load(f"{p}_preprocess_{split}.npy")
-            if self.multiview_hdf5 is not None:
-                point_cloud = np.concatenate(
-                    [point_cloud, self._multiview(scene_id)], axis=1
-                )
-            self.cache[key] = {
-                "point_cloud": point_cloud,
-                "instance_labels": np.load(f"{p}_ins_label.npy"),
-                "semantic_labels": np.load(f"{p}_sem_label.npy"),
-                "instance_bboxes": np.load(f"{p}_aligned_bbox.npy"),
-            }
-        return self.cache[key]
+        got = self.cache.get(key)
+        if got is not None:
+            return got
+        with self._lock:
+            if key not in self.cache:
+                p = os.path.join(self.root, scene_id)
+                point_cloud = np.load(f"{p}_preprocess_{split}.npy")
+                if self.multiview_hdf5 is not None:
+                    point_cloud = np.concatenate(
+                        [point_cloud, self._multiview(scene_id)], axis=1
+                    )
+                self.cache[key] = {
+                    "point_cloud": point_cloud,
+                    "instance_labels": np.load(f"{p}_ins_label.npy"),
+                    "semantic_labels": np.load(f"{p}_sem_label.npy"),
+                    "instance_bboxes": np.load(f"{p}_aligned_bbox.npy"),
+                }
+            return self.cache[key]
 
 
 class ScanReferJointDataset:
@@ -610,7 +620,6 @@ class BatchIterator:
         return collate(items, random_gate=gate, epoch=self.epoch)
 
     def __iter__(self):
-        import queue
         import threading
 
         n_batches = len(self)
@@ -618,12 +627,38 @@ class BatchIterator:
         # change the stream
         gates = [float(self.rng.random()) for _ in range(n_batches)]
         w = min(self.num_workers, max(n_batches, 1))
-        queues = [queue.Queue(maxsize=self.prefetch) for _ in range(w)]
+
+        # Ordered shared buffer with a bounded in-flight WINDOW: worker
+        # of batch b waits until b < consumed + prefetch + w. Total
+        # built-but-unconsumed batches never exceeds prefetch + w
+        # (per-worker queues would multiply buffering by num_workers —
+        # ~2 GB of batches at canonical multiview shapes), and the
+        # window guarantees progress: the next batch to be consumed is
+        # always inside it. Worker exceptions are re-raised in the
+        # consumer instead of hanging it.
+        cond = threading.Condition()
+        buf: dict = {}
+        state = {"consumed": 0, "error": None}
 
         def worker(wid: int):
-            for b in range(wid, n_batches, w):
-                queues[wid].put(self._make_batch(b, gates[b]))
-            queues[wid].put(None)
+            try:
+                for b in range(wid, n_batches, w):
+                    with cond:
+                        while (
+                            b >= state["consumed"] + self.prefetch + w
+                            and state["error"] is None
+                        ):
+                            cond.wait()
+                        if state["error"] is not None:
+                            return
+                    item = self._make_batch(b, gates[b])
+                    with cond:
+                        buf[b] = item
+                        cond.notify_all()
+            except BaseException as e:  # surface in the consumer
+                with cond:
+                    state["error"] = e
+                    cond.notify_all()
 
         threads = [
             threading.Thread(target=worker, args=(i,), daemon=True)
@@ -631,12 +666,13 @@ class BatchIterator:
         ]
         for t in threads:
             t.start()
-        done = 0
-        b = 0
-        while done < w:
-            item = queues[b % w].get()
-            if item is None:
-                done += 1
-            else:
-                yield item
-            b += 1
+        for b in range(n_batches):
+            with cond:
+                while b not in buf and state["error"] is None:
+                    cond.wait()
+                if state["error"] is not None:
+                    raise state["error"]
+                item = buf.pop(b)
+                state["consumed"] = b + 1
+                cond.notify_all()
+            yield item

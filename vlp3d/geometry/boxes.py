@@ -105,6 +105,12 @@ def get_3d_box_batch(
     box_size = xp.asarray(box_size)
     heading_angle = xp.asarray(heading_angle)
     center = xp.asarray(center)
+    if xp is np:
+        # match the jnp path's f32 result (x64 is disabled under jax;
+        # numpy would silently promote float64 inputs like np.zeros)
+        box_size = box_size.astype(np.float32, copy=False)
+        heading_angle = heading_angle.astype(np.float32, copy=False)
+        center = center.astype(np.float32, copy=False)
     half = box_size[..., None, :] * _CORNER_SIGNS / 2.0  # (..., 8, 3)
     c = xp.cos(heading_angle)[..., None]
     s = xp.sin(heading_angle)[..., None]

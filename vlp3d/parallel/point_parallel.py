@@ -275,6 +275,7 @@ def query_and_group_sharded(
     return grouped, grouped_xyz
 
 
+@functools.lru_cache(maxsize=64)
 def large_scene_front(
     mesh: Mesh,
     npoint: int,
@@ -294,6 +295,10 @@ def large_scene_front(
     This is the memory-capacity path: a scene too large for one chip is
     laid out over the point axis, and only O(M·nsample) data ever
     materializes per device.
+
+    lru_cached on (mesh, geometry): jit/trace caches key on function
+    identity, so rebuilding the shard_map per call would recompile the
+    npoint-iteration FPS loop every batch.
     """
     from jax import shard_map
 
@@ -316,21 +321,23 @@ def large_scene_front(
         )
         return new_xyz, grouped, fps_idx
 
+    # both variants built ONCE so their identities are stable across calls
+    fn_nofeat = shard_map(
+        lambda x: body(x, None),
+        mesh=mesh,
+        in_specs=(in_x,),
+        out_specs=(out_small, out_small, out_small),
+    )
+    fn_feat = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(in_x, P(dspec, POINT_AXIS, None)),
+        out_specs=(out_small, out_small, out_small),
+    )
+
     def run(xyz, features=None):
         if features is None:
-            fn = shard_map(
-                lambda x: body(x, None),
-                mesh=mesh,
-                in_specs=(in_x,),
-                out_specs=(out_small, out_small, out_small),
-            )
-            return fn(xyz)
-        fn = shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(in_x, P(dspec, POINT_AXIS, None)),
-            out_specs=(out_small, out_small, out_small),
-        )
-        return fn(xyz, features)
+            return fn_nofeat(xyz)
+        return fn_feat(xyz, features)
 
     return run
