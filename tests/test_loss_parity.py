@@ -362,3 +362,35 @@ def test_debug_diagnostics_parity(rng):
                                    class_size[i], rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(got["top_ind"], np.mean(top_ind) + 1,
                                rtol=1e-5)
+
+
+def test_legacy_pretrain_contrastive_parity(rng):
+    """compute_contrastive_loss vs a transcription of the reference's
+    boolean-indexing form (loss_pretrain.py:4-36)."""
+    from vlp3d.losses.pretrain import compute_contrastive_loss
+
+    B, L, K = 3, 4, 12
+    total = B * L
+    sim_l2p = rng.normal(size=(total, K)).astype(np.float32)
+    sim_p2l = rng.normal(size=(K, total)).astype(np.float32)
+    positive_labels = rng.integers(0, K, size=(total,))
+    contrast_mask = (rng.random((B, L)) < 0.7).astype(np.float32)
+    contrast_mask[0, 0] = 1.0  # at least one valid row
+
+    got = float(
+        compute_contrastive_loss(
+            jnp.asarray(sim_l2p), jnp.asarray(sim_p2l),
+            jnp.asarray(positive_labels), jnp.asarray(contrast_mask),
+        )
+    )
+
+    mask = contrast_mask.reshape(total).astype(bool)
+    sel_l2p = sim_l2p[:, positive_labels][mask][:, mask]
+    sel_p2l = sim_p2l[positive_labels, :][mask][:, mask]
+
+    def nce(s):
+        ls = s - np.log(np.exp(s - s.max(1, keepdims=True)).sum(1, keepdims=True)) - s.max(1, keepdims=True)
+        return float(-np.diagonal(ls).mean())
+
+    want = (nce(sel_l2p) + nce(sel_p2l)) / B
+    np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -71,9 +71,10 @@ class Solver:
         self.reference = reference
         self.use_bn_schedule = use_bn_schedule
         self.log_every = log_every
-        # best-model criterion: as in the reference, only 'sum'
-        # (2 x iou_rate_0.5) drives best-snapshot updates; any other value
-        # leaves cur_best at 0 (solver_3dvlp.py:1114-1135)
+        # best-model criterion: 'sum' = 2 x iou_rate_0.5
+        # (solver_3dvlp.py:1114-1128); a val-metric name (e.g. the VQA
+        # path's 'answer_acc_at1', lib/vqa/solver.py:503-506) selects on
+        # that metric; anything else leaves cur_best at 0 (:1129-1135)
         self.criterion = criterion
         # multi-host (DCN): one global mesh over every process's devices;
         # config.train.batch_size stays the GLOBAL batch size, each process
@@ -312,6 +313,8 @@ class Solver:
         )
         _, _, eval_step = self._get_steps(epoch)
         ious, multiple, others, lang_accs, scalars = [], [], [], [], []
+        ans_hit1 = ans_hit10 = 0.0
+        ans_n = 0
         for batch in loader:
             arrays = {
                 k: v for k, v in batch.items() if not isinstance(v, list)
@@ -339,7 +342,7 @@ class Solver:
                     for k in (
                         "objectness_scores", "cluster_ref", "pred_center",
                         "pred_size", "pred_heading", "sem_cls_scores",
-                        "lang_scores",
+                        "lang_scores", "answer_scores",
                     )
                     if k in out
                 }
@@ -372,6 +375,28 @@ class Solver:
             others += g["ref_others_mask"]
             lang_accs.append(g["lang_acc"])
             scalars.append({k: float(v) for k, v in metrics.items()})
+            if "answer_scores" in out_np and "answer_cats" in arrays:
+                # answer EM@1/@10 over valid questions (the reference's VQA
+                # solver metric, lib/vqa/eval_helper.py:221-235; its batch
+                # is one question per row, so the joint chunked equivalent
+                # masks padded rows by lang_num). numpy on the fetched
+                # logits — no per-batch eager device dispatches.
+                scores = np.asarray(out_np["answer_scores"])
+                cats = np.asarray(arrays["answer_cats"], np.float32)
+                b_, l_ = cats.shape[:2]
+                cats = cats.reshape(b_ * l_, -1)
+                valid = (
+                    np.arange(l_)[None, :]
+                    < np.asarray(arrays["lang_num"])[:, None]
+                ).reshape(-1)
+                at1 = scores.argmax(axis=1)
+                hit1 = cats[np.arange(len(at1)), at1]
+                k10 = min(10, scores.shape[1])
+                topk = np.argpartition(-scores, k10 - 1, axis=1)[:, :k10]
+                hit10 = np.take_along_axis(cats, topk, axis=1).max(axis=1)
+                ans_hit1 += float(hit1[valid].sum())
+                ans_hit10 += float(hit10[valid].sum())
+                ans_n += int(valid.sum())
 
         ious_np = np.asarray(ious)
         result = {
@@ -380,6 +405,9 @@ class Solver:
             "lang_acc": float(np.mean(lang_accs)) if lang_accs else 0.0,
             **final_eval_breakdown(ious, multiple, others),
         }
+        if ans_n:
+            result["answer_acc_at1"] = ans_hit1 / ans_n
+            result["answer_acc_at10"] = ans_hit10 / ans_n
         if self.caption and self.caption_eval_ctx is not None:
             result.update(self.caption_eval(epoch))
         if scalars:
@@ -492,10 +520,14 @@ class Solver:
                 if (epoch + 1) % eval_every == 0:
                     val = self.eval_epoch(epoch)
                     ground_sum = val["iou_rate_0.5"]
-                    # criterion 'sum' (solver:1126-1128); non-'sum' leaves
-                    # cur_best 0 as the reference does (:1129-1135)
+                    # criterion 'sum' = 2 x iou_rate_0.5 (solver:1126-1128).
+                    # Any val-metric name selects on that metric — the VQA
+                    # solver's cur_criterion="answer_acc_at1" path
+                    # (lib/vqa/solver.py:503-506). Unknown names leave
+                    # cur_best 0 as the joint reference does (:1129-1135).
                     cur_best = (
-                        ground_sum * 2 if self.criterion == "sum" else 0.0
+                        ground_sum * 2 if self.criterion == "sum"
+                        else float(val.get(self.criterion, 0.0))
                     )
                     if cur_best > self.best["sum"]:
                         self.best.update(
