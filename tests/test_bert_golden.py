@@ -175,3 +175,52 @@ def test_wordpiece_matches_hf(tmp_path):
             v2i[t] for w in basic.tokenize(s) for t in wp.tokenize(w)
         ]
         assert mine.tokenize_ids(s) == hf_ids, s
+
+
+def test_lang_cross_mlm_shapes_and_grads():
+    """LangCrossMLM (the dormant LangBertModule.mlm head,
+    lang_bert_module.py:142-249): logits cover the sampled sentences, loss
+    is finite and reads only masked positions, gradients reach the decoder
+    stack but NOT the frozen text encoder."""
+    from vlp3d.models.bert import LangCrossMLM, cross_mlm_loss
+
+    cfg = BertConfig(
+        vocab_size=120, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32, fusion_layer=1,
+    )
+    b, l, t, k, h = 2, 3, 8, 5, 16
+    model = LangCrossMLM(
+        depth=2, heads=2, hidden_size=h, bert_config=cfg, mask_ratio=0.5
+    )
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, 120, size=(b, l, t)), jnp.int32)
+    am = jnp.ones((b, l, t), jnp.int32)
+    bbox = jnp.asarray(rng.normal(size=(b, k, h)), jnp.float32)
+    pos = jnp.asarray(rng.integers(0, k, size=(b, l)), jnp.int32)
+
+    variables = model.init(
+        jax.random.key(0), jax.random.key(1), ids, am, bbox, pos
+    )
+    logits, targets, masked = model.apply(
+        variables, jax.random.key(2), ids, am, bbox, pos
+    )
+    assert logits.shape == (b, t, 120)
+    assert targets.shape == (b, t)
+    assert bool(masked.any())
+    loss = cross_mlm_loss(logits, targets, masked)
+    assert np.isfinite(float(loss))
+
+    def f(params):
+        lg, tg, mk = model.apply(
+            {"params": params}, jax.random.key(2), ids, am, bbox, pos
+        )
+        return cross_mlm_loss(lg, tg, mk)
+
+    grads = jax.grad(f)(variables["params"])
+    gnorm = lambda tree: float(
+        sum(np.abs(np.asarray(x)).sum() for x in jax.tree.leaves(tree))
+    )
+    assert gnorm(grads["prediction"]) > 0
+    assert gnorm(grads["cross_attn_0"]) > 0
+    assert gnorm(grads["pc_proj"]) > 0
+    assert gnorm(grads["text_encoder"]) == 0.0  # frozen (stop_gradient)

@@ -56,3 +56,32 @@ def test_export_scalars_to_json(tmp_path):
     assert set(hist) == {"loss", "acc"}
     assert [e[1:] for e in hist["loss"]] == [[0, 1.5], [1, 1.2]]
     assert hist["acc"][0][1:] == [1, 0.7]
+
+
+def test_wandb_writer_offline_fallback(tmp_path):
+    """WandbWriter degrades to a JSONL stream when the wandb package is
+    absent (this image), preserving the reference's phase-prefixed record
+    shape (solver_3dvlp.py:531-565)."""
+    import json
+    import os
+
+    from vlp3d.utils.wandb_writer import WandbWriter
+
+    w = WandbWriter(str(tmp_path), config={"lr": 0.002}, enabled=True)
+    w.log({"iter": 1, "train_loss": 3.5})
+    w.log({"epoch": 0, "val_iou_rate_0.5": 0.1}, step=7)
+    w.finish()
+
+    path = os.path.join(str(tmp_path), "wandb_offline.jsonl")
+    assert os.path.exists(path)
+    with open(path) as f:
+        records = [json.loads(line) for line in f]
+    assert records[0] == {"_type": "config", "config": {"lr": 0.002}}
+    assert records[1]["train_loss"] == 3.5
+    assert records[2]["_step"] == 7
+
+    # disabled writer: no file, no-ops
+    w2 = WandbWriter(str(tmp_path / "off"), enabled=False)
+    w2.log({"x": 1})
+    w2.finish()
+    assert not os.path.exists(str(tmp_path / "off"))

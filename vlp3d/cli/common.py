@@ -101,9 +101,13 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--num_ground_epoch", type=int, default=50,
                    help="grounding-curriculum switch epoch")
     p.add_argument("--criterion", type=str, default="sum",
-                   help="best-model criterion; as in the reference, only "
-                        "'sum' (2 x iou_rate_0.5) updates best snapshots "
-                        "(solver_3dvlp.py:1114-1135)")
+                   help="best-model criterion: 'sum' (2 x iou_rate_0.5, "
+                        "solver_3dvlp.py:1114-1128) or a val-metric name "
+                        "(the VQA path's answer_acc_at1)")
+    p.add_argument("--use_wandb", action="store_true",
+                   help="mirror metrics to wandb (train_3dvlp.py:790-794); "
+                        "falls back to an offline JSONL stream when the "
+                        "package is unavailable")
     p.add_argument("--verbose", type=int, default=10,
                    help="iteration logging interval")
     p.add_argument("--val_step", type=int, default=2000)

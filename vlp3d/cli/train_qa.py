@@ -145,6 +145,7 @@ def main(argv=None):
         val_step=getattr(args, "val_step", 2000),
         tp=getattr(args, "tp", 1),
         seed=args.seed,
+        use_wandb=getattr(args, "use_wandb", False),
     )
     sample = next(iter(BatchIterator(train_ds, config.train.batch_size)))
     sample = {k: v for k, v in sample.items() if not isinstance(v, list)}

@@ -243,6 +243,91 @@ class LangModule(nn.Module):
         return out
 
 
+class LangCrossMLM(nn.Module):
+    """Proposal-conditioned MLM head — the reference's dormant
+    LangBertModule.mlm (lang_bert_module.py:142-249; invoked nowhere in
+    the joint path, where forward_mlm on the caption decoder is the wired
+    MLM). Per scene row: sample ONE sentence uniformly from the flattened
+    (B*L) pool (:168-170), 80/10/10-mask it excluding pad/CLS
+    (mask(), :251-276), re-encode with the text encoder, run `depth`
+    cross-attention blocks against the sampled scene's positive-proposal
+    features (pc_proj Linear+GELU, :50-53; mul-way attention, :219-221),
+    and score every position with a prediction head (:247)."""
+
+    depth: int = 2
+    heads: int = 4
+    hidden_size: int = 128
+    mask_ratio: float = 0.15
+    bert_config: BertConfig = BertConfig()
+    freeze_bert: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        rng: jax.Array,
+        input_ids: jax.Array,  # (B, L, T) i32
+        attention_mask: jax.Array,  # (B, L, T)
+        bbox_feature: jax.Array,  # (B, K, H) relation output
+        positive_labels: jax.Array,  # (B, L) best-IoU proposal per sentence
+        *,
+        train: bool = False,
+    ):
+        from vlp3d.models.attention import MultiHeadAttention, PredictionHead
+        from vlp3d.models.caption import mask_caption_tokens
+
+        b, l, t = input_ids.shape
+        # per-sentence positive proposal feature (select, :77-86)
+        sel = jnp.take_along_axis(
+            bbox_feature,
+            positive_labels.reshape(b, l)[..., None].astype(jnp.int32),
+            axis=1,
+        )  # (B, L, H)
+
+        r_sample, r_mask = jax.random.split(rng)
+        sample_ids = jax.random.randint(r_sample, (b,), 0, b * l)
+        ids_flat = input_ids.reshape(b * l, t)
+        am_flat = attention_mask.reshape(b * l, t)
+        sample_tok = ids_flat[sample_ids]  # (B, T)
+        sample_am = am_flat[sample_ids]
+        sample_scenes = sample_ids // l
+        memory = sel[sample_scenes]  # (B, L, H)
+
+        mlm_ids, masked = mask_caption_tokens(
+            r_mask, sample_tok, self.bert_config.vocab_size, self.mask_ratio
+        )
+
+        hidden = BertTextEncoder(self.bert_config, name="text_encoder")(
+            mlm_ids, sample_am, deterministic=not train
+        )
+        if self.freeze_bert:
+            hidden = jax.lax.stop_gradient(hidden)
+        x = nn.Dense(self.hidden_size, name="proj")(hidden)  # (B, T, H)
+
+        mem = nn.Dense(self.hidden_size, name="pc_proj")(memory)
+        mem = nn.gelu(mem, approximate=False)
+        for i in range(self.depth):
+            x = MultiHeadAttention(
+                self.hidden_size, self.heads, name=f"cross_attn_{i}"
+            )(x, mem, mem, way="mul", deterministic=not train)
+        logits = PredictionHead(
+            self.bert_config.vocab_size, self.hidden_size, name="prediction"
+        )(x)
+        return logits, sample_tok, masked
+
+
+def cross_mlm_loss(
+    logits: jax.Array,  # (B, T, V)
+    targets: jax.Array,  # (B, T) original ids
+    masked: jax.Array,  # (B, T) bool — loss only on masked positions
+) -> jax.Array:
+    """CE over masked positions (the reference's CrossEntropyLoss with
+    -100-filled unmasked targets, lang_bert_module.py:247-249)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    n = jnp.maximum(masked.sum(), 1)
+    return jnp.where(masked, nll, 0.0).sum() / n
+
+
 def load_hf_bert_params(flax_params: dict, state_dict: dict) -> dict:
     """Copy HF bert-base-uncased torch weights into BertTextEncoder params.
 

@@ -56,6 +56,7 @@ class Solver:
         tp: int = 1,
         seed: int = 42,
         caption_eval_ctx: dict | None = None,
+        use_wandb: bool = False,
     ):
         """caption_eval_ctx (optional): {"corpus", "organized", "tokenizer"}
         — enables Scan2Cap metric evaluation during eval_epoch (the
@@ -148,6 +149,13 @@ class Solver:
         )
         self._tb_train = SummaryWriter(os.path.join(tb_dir, "train"))
         self._tb_val = SummaryWriter(os.path.join(tb_dir, "val"))
+        # wandb mirror with phase-prefixed keys (solver_3dvlp.py:531-565);
+        # offline JSONL fallback when the package is absent
+        from vlp3d.utils.wandb_writer import WandbWriter
+
+        self._wandb = WandbWriter(
+            workdir, enabled=use_wandb and self.is_main
+        )
         self._global_step = 0
 
     # ------------------------------------------------------------ model
@@ -281,6 +289,10 @@ class Solver:
                     self.timers.report(), self._global_step, prefix="time/"
                 )
                 self._tb_train.flush()
+                self._wandb.log(
+                    {"iter": self._global_step, "epoch": epoch,
+                     **{f"train_{k}": v for k, v in scal.items()}}
+                )
                 self._log(
                     {
                         "phase": "train",
@@ -422,6 +434,12 @@ class Solver:
             self._global_step,
         )
         self._tb_val.flush()
+        self._wandb.log(
+            {"epoch": epoch, **{
+                f"val_{k}": float(v) for k, v in val_scalars.items()
+                if isinstance(v, (int, float))
+            }}
+        )
         self._log({"phase": "val", "epoch": epoch, **val_scalars})
         return result
 
@@ -585,6 +603,7 @@ class Solver:
         self._log({"phase": "best", **self.best})
         self._tb_train.export_scalars_to_json()
         self._tb_val.export_scalars_to_json()
+        self._wandb.finish()
 
     def warm_start(self, path: str) -> tuple[int, int]:
         """strict=False restore from a save_params snapshot into the live
