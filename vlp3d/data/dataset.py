@@ -27,6 +27,7 @@ import random as pyrandom
 
 import numpy as np
 
+from vlp3d import native
 from vlp3d.data.augment import augment_scene
 from vlp3d.data.prompt import Prompt
 from vlp3d.geometry.boxes import get_3d_box_batch
@@ -261,6 +262,13 @@ class ScanReferJointDataset:
         )
         self.chunks = self.split_scene_new(scanrefer)
         self.num_chunks = len(self.chunks)
+        # per-scene statics for the fused loader path: floor percentile and
+        # the nyu40 semantic gate are functions of the RAW scene only, so
+        # they are computed once per scene instead of once per item.
+        # (dict writes are atomic; a duplicate compute under a race is
+        # benign because the values are deterministic)
+        self._scene_statics_cache: dict = {}
+        self._c_out: int | None = None
 
     # -------------------------------------------------- chunking
     def split_scene_new(self, scanrefer_data):
@@ -327,7 +335,52 @@ class ScanReferJointDataset:
         return self.num_chunks
 
     # -------------------------------------------------- item
+    def _scene_statics(self, scene_id: str, scene: dict):
+        """(floor_height, raw sem_ok u8) — raw-scene-only statics, cached.
+        floor = np.percentile(z, 0.99) exactly as the per-item path
+        (dataset.py:603-607); sem_ok = semantic label in the nyu40
+        detection set (the vote gate)."""
+        got = self._scene_statics_cache.get(scene_id)
+        if got is None:
+            pc = scene["point_cloud"]
+            # keep numpy's scalar dtype (f32 for f32 clouds): the height
+            # subtraction must round exactly like the per-item path
+            floor = (
+                np.percentile(pc[:, 2], 0.99)
+                if self.use_height else np.float32(0.0)
+            )
+            sem_ok = np.ascontiguousarray(
+                np.isin(scene["semantic_labels"], list(NYU40_IDS)), np.uint8
+            )
+            got = (floor, sem_ok)
+            self._scene_statics_cache[scene_id] = got
+        return got
+
+    def batch_layout(self) -> dict:
+        """Shapes/dtypes of the big per-item arrays ((shape, dtype) per
+        key). BatchIterator preallocates (B, ...) batch buffers from this
+        and passes per-item slot views to get_item(out=...), so the wide
+        arrays (~95% of batch bytes) are written once, in place — no
+        collate-time np.stack memcpy."""
+        if self._c_out is None:
+            scene = self.scene_source(
+                self.chunks[0][0]["scene_id"], self.split
+            )
+            self._c_out = int(scene["point_cloud"].shape[1]) + (
+                1 if self.use_height else 0
+            )
+        n = self.num_points
+        return {
+            "point_clouds": ((n, self._c_out), np.float32),
+            "vote_label": ((n, 9), np.float32),
+            "vote_label_mask": ((n,), np.int64),
+            "instance_labels": ((n,), np.int64),
+        }
+
     def __getitem__(self, idx: int) -> dict:
+        return self.get_item(idx)
+
+    def get_item(self, idx: int, out: dict | None = None) -> dict:
         # counter-based per-item stream keyed on (seed, epoch round, idx):
         # deterministic AND independent of loader worker count / item
         # evaluation order (a shared sequential Generator would make the
@@ -359,25 +412,66 @@ class ScanReferJointDataset:
             if istrain and self.minor_aug and name in self.minor_label:
                 add_last_minor = True
 
-        point_cloud = np.array(scene["point_cloud"], np.float32)
-        instance_labels = np.array(scene["instance_labels"])
-        semantic_labels = np.array(scene["semantic_labels"])
+        # Fused native path: the wide work (C_out-column row gather, vote
+        # regen, instance gather) runs in C, written straight into the
+        # caller's batch-buffer slots; only the NARROW columns the augment
+        # chain touches (xyz, col 3, height) are replayed in f64 numpy with
+        # the exact per-item op sequence — bit-identical to the numpy path
+        # below (which mirrors dataset.py:596-679 including its f64
+        # promotion after the height concat).
+        scene_pc = scene["point_cloud"]
         instance_bboxes = np.array(scene["instance_bboxes"], np.float32)
-
-        if self.use_height:
-            floor_height = np.percentile(point_cloud[:, 2], 0.99)
-            height = point_cloud[:, 2] - floor_height
-            point_cloud = np.concatenate(
-                [point_cloud, height[:, None]], axis=1
-            )
-
-        replace = point_cloud.shape[0] < self.num_points
-        choices = rng.choice(
-            point_cloud.shape[0], self.num_points, replace=replace
+        use_fused = (
+            native.native_available()
+            and isinstance(scene_pc, np.ndarray)
+            and scene_pc.dtype == np.float32
+            and scene_pc.flags.c_contiguous
         )
-        point_cloud = point_cloud[choices]
-        instance_labels = instance_labels[choices]
-        semantic_labels = semantic_labels[choices]
+
+        if use_fused:
+            c_raw = scene_pc.shape[1]
+            c_out = c_raw + (1 if self.use_height else 0)
+            floor_height, sem_ok_raw = self._scene_statics(scene_id, scene)
+            replace = scene_pc.shape[0] < self.num_points
+            choices = np.ascontiguousarray(
+                rng.choice(scene_pc.shape[0], self.num_points,
+                           replace=replace),
+                np.int64,
+            )
+            if out is not None:
+                point_cloud = out["point_clouds"]
+                instance_labels = out["instance_labels"]
+                point_votes = out["vote_label"]
+                point_votes_mask = out["vote_label_mask"]
+            else:
+                point_cloud = np.empty((self.num_points, c_out), np.float32)
+                instance_labels = np.empty((self.num_points,), np.int64)
+                point_votes = np.empty((self.num_points, 9), np.float32)
+                point_votes_mask = np.empty((self.num_points,), np.int64)
+            native.gather_scene_rows(scene_pc, choices, point_cloud)
+            native.gather_i64(
+                scene["instance_labels"], choices, instance_labels
+            )
+            sem_ok = native.gather_u8(sem_ok_raw, choices)
+        else:
+            point_cloud = np.array(scene_pc, np.float32)
+            instance_labels = np.array(scene["instance_labels"])
+            semantic_labels = np.array(scene["semantic_labels"])
+
+            if self.use_height:
+                floor_height = np.percentile(point_cloud[:, 2], 0.99)
+                height = point_cloud[:, 2] - floor_height
+                point_cloud = np.concatenate(
+                    [point_cloud, height[:, None]], axis=1
+                )
+
+            replace = point_cloud.shape[0] < self.num_points
+            choices = rng.choice(
+                point_cloud.shape[0], self.num_points, replace=replace
+            )
+            point_cloud = point_cloud[choices]
+            instance_labels = instance_labels[choices]
+            semantic_labels = semantic_labels[choices]
 
         # GT boxes padded to MAX_NUM_OBJ
         num_bbox = min(instance_bboxes.shape[0], MAX_NUM_OBJ)
@@ -386,31 +480,66 @@ class ScanReferJointDataset:
         target_bboxes[:num_bbox] = instance_bboxes[:num_bbox, 0:6]
         target_bboxes_mask[:num_bbox] = 1.0
 
-        if self.augment:
+        if self.augment and use_fused:
+            # narrow f32 replay of exactly the columns augment_scene
+            # touches: [xyz] (+ col 3 when use_height — the reference
+            # scales col 3 whatever it holds, utils_fn.py:116-117).
+            # Heights enter col 3 only when c_raw == 3; with extra
+            # features the height column sits last and augment never
+            # touches it (reference quirk). The array stays f32 like the
+            # full-width path, so every augment step's store rounds at
+            # the same point — bit-identical output.
+            ncols = 4 if self.use_height else 3
+            small = np.empty((self.num_points, ncols), np.float32)
+            small[:, :3] = point_cloud[:, :3]
+            height = None
+            if self.use_height:
+                height = point_cloud[:, 2] - floor_height
+                small[:, 3] = height if c_raw == 3 else point_cloud[:, 3]
+            small, target_bboxes = augment_scene(
+                small, target_bboxes, self.use_height, rng
+            )
+            point_cloud[:, :3] = small[:, :3]
+            if self.use_height:
+                if c_raw == 3:
+                    height = small[:, 3]
+                else:
+                    point_cloud[:, 3] = small[:, 3]
+                point_cloud[:, c_out - 1] = height
+        elif use_fused:
+            if self.use_height:
+                point_cloud[:, c_out - 1] = (
+                    point_cloud[:, 2] - floor_height
+                )
+        elif self.augment:
             point_cloud, target_bboxes = augment_scene(
                 point_cloud, target_bboxes, self.use_height, rng
             )
 
         # votes AFTER augmentation (dataset.py:669-678); single-pass native
         # C kernel when a compiler is available, numpy loop otherwise
-        from vlp3d import native
-
-        sem_ok = np.isin(semantic_labels, list(NYU40_IDS))
-        if native.native_available():
-            point_votes, point_votes_mask = native.compute_votes(
-                point_cloud[:, :3], instance_labels, sem_ok
+        if use_fused:
+            native.compute_votes_tiled(
+                point_cloud, instance_labels, sem_ok,
+                point_votes, point_votes_mask,
             )
         else:
-            point_votes = np.zeros((self.num_points, 3), np.float32)
-            point_votes_mask = np.zeros(self.num_points, np.float32)
-            for i_instance in np.unique(instance_labels):
-                ind = np.where(instance_labels == i_instance)[0]
-                if sem_ok[ind[0]]:
-                    x = point_cloud[ind, :3]
-                    center = 0.5 * (x.min(0) + x.max(0))
-                    point_votes[ind, :] = center - x
-                    point_votes_mask[ind] = 1.0
-        point_votes = np.tile(point_votes, (1, GT_VOTE_FACTOR))
+            sem_ok = np.isin(semantic_labels, list(NYU40_IDS))
+            if native.native_available():
+                point_votes, point_votes_mask = native.compute_votes(
+                    point_cloud[:, :3], instance_labels, sem_ok
+                )
+            else:
+                point_votes = np.zeros((self.num_points, 3), np.float32)
+                point_votes_mask = np.zeros(self.num_points, np.float32)
+                for i_instance in np.unique(instance_labels):
+                    ind = np.where(instance_labels == i_instance)[0]
+                    if sem_ok[ind[0]]:
+                        x = point_cloud[ind, :3]
+                        center = 0.5 * (x.min(0) + x.max(0))
+                        point_votes[ind, :] = center - x
+                        point_votes_mask[ind] = 1.0
+            point_votes = np.tile(point_votes, (1, GT_VOTE_FACTOR))
 
         angle_classes = np.zeros((MAX_NUM_OBJ,), np.int64)
         angle_residuals = np.zeros((MAX_NUM_OBJ,), np.float32)
@@ -507,11 +636,28 @@ class ScanReferJointDataset:
 
         bert = self.tokenizer(text_list, max_length=self.bert_max_len)
 
+        # the four big direct-write arrays (batch_layout): already sitting
+        # in `out` slots on the fused path; on the numpy path copy them in
+        big = {
+            "point_clouds": point_cloud if use_fused
+            else point_cloud.astype(np.float32),
+            "instance_labels": instance_labels if use_fused
+            else instance_labels.astype(np.int64),
+            "vote_label": point_votes if use_fused
+            else point_votes.astype(np.float32),
+            "vote_label_mask": point_votes_mask if use_fused
+            else point_votes_mask.astype(np.int64),
+        }
+        if out is not None:
+            if not use_fused:
+                for k, v in big.items():
+                    out[k][...] = v
+            big = {}
+
         item = {
             "istrain": np.int32(istrain),
             "lang_num": np.int32(lang_num),
-            "point_clouds": point_cloud.astype(np.float32),
-            "instance_labels": instance_labels.astype(np.int64),
+            **big,
             "center_label": target_bboxes[:, 0:3],
             "heading_class_label": angle_classes,
             "heading_residual_label": angle_residuals,
@@ -520,8 +666,6 @@ class ScanReferJointDataset:
             "num_bbox": np.int64(num_bbox),
             "sem_cls_label": sem_cls_label,
             "box_label_mask": target_bboxes_mask,
-            "vote_label": point_votes.astype(np.float32),
-            "vote_label_mask": point_votes_mask.astype(np.int64),
             "scan_idx": np.int64(idx),
             "scene_id": scene_id,
             "gt_box_corner_label": gt_corners.astype(np.float64),
@@ -616,6 +760,30 @@ class BatchIterator:
             b * self.batch_size,
             min((b + 1) * self.batch_size, len(self.dataset)),
         )
+        layout = getattr(self.dataset, "batch_layout", None)
+        if layout is not None:
+            # direct-write path: preallocate the big (B, ...) arrays and
+            # hand per-item slot views to get_item — items never carry the
+            # wide arrays and collate never re-copies them. Buffers come
+            # from the native recycled pool when available (fresh ~170 MB
+            # numpy allocations page-fault-storm every batch; loader.c)
+            alloc = (
+                native.alloc_array if native.native_available()
+                else lambda s, d: np.empty(s, d)
+            )
+            big = {
+                k: alloc((len(idxs),) + shape, dtype)
+                for k, (shape, dtype) in layout().items()
+            }
+            items = [
+                self.dataset.get_item(
+                    i, {k: v[j] for k, v in big.items()}
+                )
+                for j, i in enumerate(idxs)
+            ]
+            batch = collate(items, random_gate=gate, epoch=self.epoch)
+            batch.update(big)
+            return batch
         items = [self.dataset[i] for i in idxs]
         return collate(items, random_gate=gate, epoch=self.epoch)
 

@@ -82,8 +82,8 @@ class ScanQADataset(ScanReferJointDataset):
         self.num_answers = num_answers or max(len(self.answer_vocab), 1)
         super().__init__(anns, scene_source, tokenizer, **kwargs)
 
-    def __getitem__(self, idx):
-        item = super().__getitem__(idx)
+    def get_item(self, idx, out=None):
+        item = super().get_item(idx, out)
         chunk = self.chunks[idx]
         l = self.lang_num_max
         answer_cat = np.zeros((l,), np.int32)

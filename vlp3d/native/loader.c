@@ -11,10 +11,85 @@
  * (no pybind11 in this environment).
  */
 
+#include <pthread.h>
 #include <stdint.h>
 #include <string.h>
+#include <sys/mman.h>
 
 #define MAX_INSTANCES 4096
+
+/* ---------------------------------------------------------------- buffers
+ *
+ * Size-bucketed free-list of mmap'd buffers for the large recurring
+ * batch allocations. Fresh ~170 MB numpy allocations pay a first-touch
+ * page-fault storm on every batch — and numpy madvises MADV_HUGEPAGE for
+ * large buffers, which under THP defrag=madvise turns each fault into
+ * synchronous compaction (measured 50-400 ms per batch depending on
+ * compaction debt, vs ~30 ms for a reused buffer). Buffers here are
+ * MADV_NOHUGEPAGE mmaps recycled through a per-size free list; the
+ * Python wrapper ties release to numpy view refcounts, so recycling is
+ * correct even when a zero-copy consumer (jax CPU device_put) keeps a
+ * reference. Lists are capped per size; overflow is munmap'd.
+ */
+
+#define BUF_BUCKETS 64
+#define BUF_CACHE_PER_BUCKET 8
+
+typedef struct FreeNode {
+  struct FreeNode *next;
+} FreeNode;
+
+static pthread_mutex_t buf_lock = PTHREAD_MUTEX_INITIALIZER;
+static FreeNode *free_lists[BUF_BUCKETS];
+static int free_counts[BUF_BUCKETS];
+static size_t bucket_sizes[BUF_BUCKETS];
+static int n_buckets = 0;
+
+static int bucket_for(size_t size, int create) {
+  for (int i = 0; i < n_buckets; ++i) {
+    if (bucket_sizes[i] == size) return i;
+  }
+  if (create && n_buckets < BUF_BUCKETS) {
+    bucket_sizes[n_buckets] = size;
+    return n_buckets++;
+  }
+  return -1;
+}
+
+void *vlp3d_buf_acquire(size_t size) {
+  void *p = NULL;
+  pthread_mutex_lock(&buf_lock);
+  int b = bucket_for(size, 1);
+  if (b >= 0 && free_lists[b]) {
+    p = free_lists[b];
+    free_lists[b] = free_lists[b]->next;
+    free_counts[b]--;
+  }
+  pthread_mutex_unlock(&buf_lock);
+  if (p) return p;
+  p = mmap(NULL, size, PROT_READ | PROT_WRITE,
+           MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (p == MAP_FAILED) return NULL;
+  madvise(p, size, MADV_NOHUGEPAGE);
+  return p;
+}
+
+void vlp3d_buf_release(void *p, size_t size) {
+  if (!p) return;
+  pthread_mutex_lock(&buf_lock);
+  int b = bucket_for(size, 0);
+  if (b >= 0 && free_counts[b] < BUF_CACHE_PER_BUCKET &&
+      size >= sizeof(FreeNode)) {
+    FreeNode *node = (FreeNode *)p;
+    node->next = free_lists[b];
+    free_lists[b] = node;
+    free_counts[b]++;
+    pthread_mutex_unlock(&buf_lock);
+    return;
+  }
+  pthread_mutex_unlock(&buf_lock);
+  munmap(p, size);
+}
 
 /* points: (n, stride) float32, xyz in the first 3 columns.
  * instance_labels: (n,) int64 in [0, MAX_INSTANCES).
@@ -87,4 +162,76 @@ void gather_rows_f32(const float *src, int64_t stride, const int64_t *idx,
 void gather_rows_i64(const int64_t *src, const int64_t *idx, int64_t n_out,
                      int64_t *out) {
   for (int64_t i = 0; i < n_out; ++i) out[i] = src[idx[i]];
+}
+
+void gather_u8(const uint8_t *src, const int64_t *idx, int64_t n_out,
+               uint8_t *out) {
+  for (int64_t i = 0; i < n_out; ++i) out[i] = src[idx[i]];
+}
+
+/* Strided row gather: out rows may be wider than src rows (out_stride >=
+ * ncols), so the sampled scene can be written STRAIGHT into its
+ * (num_points, c_out) slot of a preallocated batch buffer — the
+ * fused-loader path that removes the per-item full-scene copy and the
+ * collate-time np.stack memcpy of the ~170 MB point_clouds batch. */
+void gather_rows_strided_f32(const float *src, int64_t src_stride,
+                             const int64_t *idx, int64_t n_out,
+                             int64_t ncols, float *out,
+                             int64_t out_stride) {
+  for (int64_t i = 0; i < n_out; ++i) {
+    memcpy(out + i * out_stride, src + idx[i] * src_stride,
+           (size_t)ncols * sizeof(float));
+  }
+}
+
+/* compute_votes with the GT_VOTE_FACTOR=3 tiling (np.tile(votes, (1, 3)),
+ * dataset.py:679) and the int64 mask folded in, writing both straight
+ * into their batch-buffer slots. Same instance/center semantics as
+ * compute_votes above. */
+void compute_votes_tiled(const float *points, int64_t stride, int64_t n,
+                         const int64_t *instance_labels,
+                         const uint8_t *semantic_ok, float *votes_out,
+                         int64_t votes_stride, int64_t *mask_out) {
+  float mins[MAX_INSTANCES][3];
+  float maxs[MAX_INSTANCES][3];
+  uint8_t seen[MAX_INSTANCES];
+  uint8_t ok[MAX_INSTANCES];
+  memset(seen, 0, sizeof(seen));
+
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t ins = instance_labels[i];
+    if (ins < 0 || ins >= MAX_INSTANCES) continue;
+    const float *p = points + i * stride;
+    if (!seen[ins]) {
+      seen[ins] = 1;
+      ok[ins] = semantic_ok[i];
+      for (int d = 0; d < 3; ++d) {
+        mins[ins][d] = p[d];
+        maxs[ins][d] = p[d];
+      }
+    } else {
+      for (int d = 0; d < 3; ++d) {
+        if (p[d] < mins[ins][d]) mins[ins][d] = p[d];
+        if (p[d] > maxs[ins][d]) maxs[ins][d] = p[d];
+      }
+    }
+  }
+
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t ins = instance_labels[i];
+    const float *p = points + i * stride;
+    float *v = votes_out + i * votes_stride;
+    if (ins >= 0 && ins < MAX_INSTANCES && seen[ins] && ok[ins]) {
+      for (int d = 0; d < 3; ++d) {
+        float vd = 0.5f * (mins[ins][d] + maxs[ins][d]) - p[d];
+        v[d] = vd;
+        v[3 + d] = vd;
+        v[6 + d] = vd;
+      }
+      mask_out[i] = 1;
+    } else {
+      for (int d = 0; d < 9; ++d) v[d] = 0.0f;
+      mask_out[i] = 0;
+    }
+  }
 }
