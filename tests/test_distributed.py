@@ -28,17 +28,32 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train_step():
+@pytest.mark.parametrize("mode", ["env", "slurm"])
+def test_two_process_train_step(mode):
     port = _free_port()
     procs = []
     for rank in range(2):
         env = dict(os.environ)
-        env.update(
-            RANK=str(rank),
-            WORLD_SIZE="2",
-            MASTER_ADDR="127.0.0.1",
-            MASTER_PORT=str(port),
-        )
+        for k in ("RANK", "WORLD_SIZE", "SLURM_PROCID", "SLURM_NTASKS",
+                  "SLURM_NODELIST"):
+            env.pop(k, None)
+        if mode == "env":
+            env.update(
+                RANK=str(rank),
+                WORLD_SIZE="2",
+                MASTER_ADDR="127.0.0.1",
+                MASTER_PORT=str(port),
+            )
+        else:
+            # the reference's SLURM rendezvous contract (dist.py:14-32):
+            # rank/world from SLURM_PROCID/SLURM_NTASKS, coordinator =
+            # first host of SLURM_NODELIST, port via MASTER_PORT
+            env.update(
+                SLURM_PROCID=str(rank),
+                SLURM_NTASKS="2",
+                SLURM_NODELIST="127.0.0.1",
+                MASTER_PORT=str(port),
+            )
         procs.append(
             subprocess.Popen(
                 [sys.executable, _WORKER],
