@@ -1,0 +1,103 @@
+"""Production-runtime hardening: async snapshots, SIGTERM preemption
+handling, jax.profiler trace capture.
+
+Reference points: the reference saves synchronously and only handles ^C
+(solver_3dvlp.py:356-359, 1137-1245) and has no profiler integration
+(SURVEY §5: hand-rolled phase timers only). Here best-model snapshots
+commit on a background thread (orbax async), SIGTERM (TPU-VM/SLURM
+preemption) routes into the same save-and-exit path, and --profile_dir
+captures a device trace over steady-state train iterations.
+"""
+
+import glob
+import json
+import os
+import signal
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlp3d.data.dataset import BatchIterator
+from vlp3d.data.synthetic import make_synthetic_dataset, tiny_config
+from vlp3d.train import checkpoint as ckpt
+from vlp3d.train.solver import Solver
+
+
+def test_async_snapshot_round_trip(tmp_path):
+    """save_params returns before the commit; a follow-up load (which
+    joins the in-flight write) sees exactly what was staged — including
+    when the staged tree is mutated after save() returns."""
+    params = {"dense": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)}}
+    stats = {"bn": {"mean": jnp.zeros(3)}}
+    ckpt.save_params(str(tmp_path), "snap", params, stats)
+    restored = ckpt.load_params(str(tmp_path), "snap")
+    np.testing.assert_array_equal(restored["params"]["dense"]["w"],
+                                  np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(restored["batch_stats"]["bn"]["mean"],
+                                  np.zeros(3))
+    # overwrite (force=True) with new values; second round trip wins
+    params2 = {"dense": {"w": params["dense"]["w"] + 1,
+                         "b": params["dense"]["b"]}}
+    ckpt.save_params(str(tmp_path), "snap", params2)
+    r2 = ckpt.load_params(str(tmp_path), "snap")
+    np.testing.assert_array_equal(r2["params"]["dense"]["w"],
+                                  np.arange(6.0).reshape(2, 3) + 1)
+    ckpt.wait_until_finished()
+
+
+@pytest.mark.slow
+def test_profile_trace_and_sigterm(tmp_path):
+    """One tiny solver exercises both: (a) --profile_dir writes an
+    xprof-readable trace during epoch 0; (b) SIGTERM mid-training saves
+    the resume checkpoint and exits cleanly (preemption contract)."""
+    config = tiny_config()
+    config = config.__class__(
+        dataset=config.dataset,
+        model=config.model,
+        loss=config.loss,
+        train=config.train.__class__(batch_size=1, epochs=2),
+    )
+    train_ds = make_synthetic_dataset(config, n_scenes=2, anns_per_scene=5)
+    val_ds = make_synthetic_dataset(
+        config, n_scenes=1, anns_per_scene=3, split="val", seed=7
+    )
+    profile_dir = str(tmp_path / "trace")
+    solver = Solver(
+        config, train_ds, val_ds, str(tmp_path),
+        log_every=1, profile_dir=profile_dir, profile_steps=2,
+    )
+    sample = next(iter(BatchIterator(train_ds, 1, epoch=0)))
+    sample = {k: v for k, v in sample.items() if not isinstance(v, list)}
+    solver.init_state(sample)
+
+    solver(1, eval_every=1)
+    # jax.profiler.trace writes plugins/profile/<ts>/*.xplane.pb
+    planes = glob.glob(
+        os.path.join(profile_dir, "plugins", "profile", "*", "*")
+    )
+    assert planes, f"no trace output under {profile_dir}"
+    assert not solver._profiling
+
+    # SIGTERM -> same save-and-exit path as KeyboardInterrupt
+    def preempted_epoch(epoch):
+        os.kill(os.getpid(), signal.SIGTERM)
+        time.sleep(0.5)  # handler raises KeyboardInterrupt inside sleep
+        raise AssertionError("SIGTERM was not delivered")
+
+    before = signal.getsignal(signal.SIGTERM)
+    solver.train_epoch = preempted_epoch
+    best = solver(5, eval_every=1)  # must not propagate
+    assert best is solver.best
+    assert os.path.exists(os.path.join(str(tmp_path), "checkpoint"))
+    with open(os.path.join(str(tmp_path), "checkpoint_meta.json")) as f:
+        assert json.load(f)["epoch"] == 0
+    # the previous handler was restored on exit
+    assert signal.getsignal(signal.SIGTERM) is before
+    interrupts = [
+        json.loads(line)
+        for line in open(os.path.join(str(tmp_path), "log.jsonl"))
+        if '"interrupt"' in line
+    ]
+    assert interrupts and interrupts[-1]["epoch"] == 0

@@ -110,6 +110,10 @@ def add_common_args(p: argparse.ArgumentParser):
                         "package is unavailable")
     p.add_argument("--verbose", type=int, default=10,
                    help="iteration logging interval")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler device trace (TensorBoard/"
+                        "xprof readable) over a few steady-state train "
+                        "iterations into this directory")
     p.add_argument("--val_step", type=int, default=2000)
     # accepted for flag-for-flag parity; inert in the reference's joint
     # path too (constructor args JointNet stores but never reads, or

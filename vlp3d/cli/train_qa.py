@@ -146,6 +146,7 @@ def main(argv=None):
         tp=getattr(args, "tp", 1),
         seed=args.seed,
         use_wandb=getattr(args, "use_wandb", False),
+        profile_dir=getattr(args, "profile_dir", "") or None,
     )
     sample = next(iter(BatchIterator(train_ds, config.train.batch_size)))
     sample = {k: v for k, v in sample.items() if not isinstance(v, list)}

@@ -19,22 +19,47 @@ def _path(root: str, name: str) -> str:
     return os.path.join(os.path.abspath(root), name)
 
 
+# One shared StandardCheckpointer (an AsyncCheckpointer underneath): saves
+# return once the tree is staged host-side and commit on a background
+# thread, overlapping the epoch-boundary snapshot writes with the next
+# training epoch. Orbax commits to a tmp dir and renames atomically, so a
+# crash mid-commit leaves the previous snapshot intact.
+_CKPTR: ocp.StandardCheckpointer | None = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_until_finished() -> None:
+    """Join any in-flight async snapshot commit (call before process exit
+    and before reading a just-written snapshot)."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
 def save_params(root: str, name: str, params, batch_stats=None) -> None:
     """Best-model snapshot. Like the reference's model.state_dict() .pth
-    files, it carries the BN running stats alongside the params."""
+    files, it carries the BN running stats alongside the params.
+
+    Asynchronous: returns after staging; the commit overlaps training.
+    """
     tree = {"params": params}
     if batch_stats is not None:
         tree["batch_stats"] = batch_stats
-    ckptr = ocp.StandardCheckpointer()
-    path = _path(root, name)
-    ckptr.save(path, tree, force=True)
-    ckptr.wait_until_finished()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # serialize with any in-flight save
+    ckptr.save(_path(root, name), tree, force=True)
 
 
 def load_params(root: str, name: str):
     """Restore a save_params snapshot: {'params': ..., 'batch_stats': ...}
     (batch_stats absent in params-only snapshots)."""
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()
     saved = ckptr.restore(_path(root, name))
     if not isinstance(saved, dict) or "params" not in saved:
         saved = {"params": saved}
@@ -48,7 +73,8 @@ def load_params_partial(path: str, params):
     shape/dtype; everything else keeps its fresh init. Pass
     {'params': ..., 'batch_stats': ...} as the template to warm-start BN
     stats too. Returns (merged, n_restored, n_skipped)."""
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()
     saved = ckptr.restore(path)
     if not isinstance(saved, dict) or (
         "params" in params and "params" not in saved
@@ -89,16 +115,19 @@ def _flatten(tree, prefix=()):
 
 
 def save_checkpoint(root: str, state, best: dict, epoch: int) -> None:
-    ckptr = ocp.StandardCheckpointer()
-    path = _path(root, "checkpoint")
-    ckptr.save(path, state, force=True)
+    """Resume checkpoint: synchronous — checkpoint_meta.json must only
+    ever describe a fully committed state tree."""
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()
+    ckptr.save(_path(root, "checkpoint"), state, force=True)
     ckptr.wait_until_finished()
     with open(os.path.join(root, "checkpoint_meta.json"), "w") as f:
         json.dump({"epoch": epoch, "best": jax.tree_util.tree_map(float, best)}, f)
 
 
 def load_checkpoint(root: str, state_template):
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()
     state = ckptr.restore(_path(root, "checkpoint"), state_template)
     with open(os.path.join(root, "checkpoint_meta.json")) as f:
         meta = json.load(f)

@@ -57,6 +57,8 @@ class Solver:
         seed: int = 42,
         caption_eval_ctx: dict | None = None,
         use_wandb: bool = False,
+        profile_dir: str | None = None,
+        profile_steps: int = 3,
     ):
         """caption_eval_ctx (optional): {"corpus", "organized", "tokenizer"}
         — enables Scan2Cap metric evaluation during eval_epoch (the
@@ -107,6 +109,13 @@ class Solver:
         else:
             self.mesh = make_mesh_for_batch(config.train.batch_size)
         self.caption_eval_ctx = caption_eval_ctx
+        # --profile_dir: capture a jax.profiler device trace (viewable in
+        # TensorBoard/xprof) over `profile_steps` steady-state iterations
+        # of the first epoch — the TPU equivalent of the reference's
+        # hand-rolled phase timers' deeper sibling (SURVEY §5 tracing)
+        self.profile_dir = profile_dir if self.is_main else None
+        self.profile_steps = profile_steps
+        self._profiling = False
         self.rng = jax.random.key(seed)
         self.np_rng = np.random.default_rng(seed)
         self.timers = PhaseTimers()
@@ -278,9 +287,25 @@ class Solver:
             batch = self._shard(
                 {k: v for k, v in batch.items() if not isinstance(v, list)}
             )
+            if (
+                self.profile_dir
+                and not self._profiling
+                and epoch == 0
+                and it == 2  # skip the compile + first dispatch iters
+            ):
+                jax.profiler.start_trace(self.profile_dir)
+                self._profiling = True
+                profile_stop_at = it + self.profile_steps
             self.timers.start("iter")
             self.state, metrics = train_step(self.state, batch, self.rng)
             self._global_step += 1
+            if self._profiling and it + 1 == profile_stop_at:
+                # materialize a metric: completion, not block_until_ready
+                # (which does not block on the axon backend — PERF.md)
+                float(metrics["loss"])
+                jax.profiler.stop_trace()
+                self._profiling = False
+                self._log({"phase": "profile", "dir": self.profile_dir})
             if it % self.log_every == 0 or it == n_iters - 1:
                 scal = {k: float(v) for k, v in metrics.items()}
                 agg.append(scal)
@@ -308,6 +333,9 @@ class Solver:
             self.timers.stop("iter")
             self.timers.start("fetch")
         self.timers.stop("fetch")
+        if self._profiling:  # epoch shorter than the profile window
+            jax.profiler.stop_trace()
+            self._profiling = False
         return {
             k: float(np.mean([a[k] for a in agg]))
             for k in agg[0]
@@ -527,6 +555,17 @@ class Solver:
         ckpt.save_params(self.workdir, name, params, stats)
 
     def __call__(self, epochs: int, *, eval_every: int = 1) -> dict:
+        # Preemption handling: TPU-VM/SLURM preemption delivers SIGTERM;
+        # route it into the same save-and-exit path as KeyboardInterrupt
+        # (the reference only handles ^C, solver_3dvlp.py:356-359).
+        import signal
+        import threading
+
+        old_term = None
+        if threading.current_thread() is threading.main_thread():
+            def _on_term(signum, frame):
+                raise KeyboardInterrupt
+            old_term = signal.signal(signal.SIGTERM, _on_term)
         epoch = 0
         try:
             for epoch in range(epochs):
@@ -568,13 +607,16 @@ class Solver:
                 if epoch % 10 == 0 and epoch != 0:
                     self._save_full_checkpoint(epoch)
         except KeyboardInterrupt:
-            # save-and-exit on interrupt (solver_3dvlp.py:356-359)
+            # save-and-exit on interrupt/preemption (solver_3dvlp.py:356-359)
             self._save_full_checkpoint(epoch)
             self._log({"phase": "interrupt", "epoch": epoch})
             print(f"interrupted at epoch {epoch} — checkpoint saved to "
                   f"{self.workdir}")
             self._finish()
             return self.best
+        finally:
+            if old_term is not None:
+                signal.signal(signal.SIGTERM, old_term)
         self._save_full_checkpoint(epochs - 1)
         self._finish()
         return self.best
@@ -604,6 +646,7 @@ class Solver:
         self._tb_train.export_scalars_to_json()
         self._tb_val.export_scalars_to_json()
         self._wandb.finish()
+        ckpt.wait_until_finished()  # join any in-flight async snapshot
 
     def warm_start(self, path: str) -> tuple[int, int]:
         """strict=False restore from a save_params snapshot into the live
