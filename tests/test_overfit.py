@@ -70,3 +70,49 @@ def test_overfit_one_batch_reaches_proposal_ceiling():
     # ...and the cross-modal match head learned to SELECT them: chosen-
     # proposal accuracy reaches the proposal-quality ceiling.
     assert acc25 >= ceiling - 1e-6, (acc25, ceiling)
+
+
+@pytest.mark.slow
+def test_overfit_caption_and_answer_heads():
+    """Trainability of the captioning and VQA objectives: on one fixed
+    batch, teacher-forced caption token accuracy and answer top-1
+    accuracy must approach 1 (not just the loss scalar falling). This is
+    the caption/answer analogue of the grounding overfit above."""
+    from vlp3d.data.synthetic import make_batch
+
+    config = tiny_config(no_caption=False, use_answer=True)
+    batch = make_batch(
+        config, batch_size=2, num_points=config.dataset.num_points,
+        istrain=1,
+    )
+    model = JointNet(config)
+    opt = make_optimizer(lr_schedule=lambda e: 1.0, steps_per_epoch=1000)
+    state = create_state(model, opt, batch)
+    train_step = jax.jit(
+        make_train_step(model, config, opt, caption=True)
+    )
+    eval_step = jax.jit(make_eval_step(model, config, caption=True))
+    rng = jax.random.key(0)
+
+    first = None
+    metrics = {}
+    for i in range(301):
+        state, metrics = train_step(state, batch, jax.random.fold_in(rng, i))
+        if first is None:
+            first = {k: float(v) for k, v in metrics.items()}
+
+    assert float(metrics["cap_loss"]) < first["cap_loss"] / 5
+    assert float(metrics["answer_loss"]) < first["answer_loss"] / 5
+    # teacher-forced next-token accuracy over non-pad tokens of good boxes
+    assert float(metrics["cap_acc"]) > 0.9, float(metrics["cap_acc"])
+
+    out, _ = eval_step(state, batch)
+    pred_ans = np.argmax(np.asarray(out["answer_scores"]), axis=1)
+    labels = np.asarray(batch["answer_cat"]).reshape(-1)
+    lang_num = np.asarray(batch["lang_num"])
+    l = config.model.lang_num_max
+    valid = (np.arange(len(labels)) % l) < lang_num[
+        np.arange(len(labels)) // l
+    ]
+    em1 = (pred_ans == labels)[valid].mean()
+    assert em1 > 0.9, em1
