@@ -7,7 +7,14 @@ Mirrors `models/proposal_module/relation_module.py:9-139`:
     distance through a [4->32->32->4] MLP (one bias per head);
   * multiview "object embedding": gathers the raw per-point multiview
     channels (point_clouds[..., 6:6+128]) through seed_inds at
-    aggregated_vote_inds, scaled by 0.1 (relation_module.py:100-117);
+    aggregated_vote_inds, scaled by 0.1 (relation_module.py:100-117).
+    NOTE: the reference's gather permutes (B,N,128)->(B,128,N) and then
+    reshape(-1,128)s it, so its row indices (seed + b*128) address a
+    scrambled matrix — deterministic noise rather than the named point's
+    features (it would IndexError outright for N <= seed range + B*128).
+    We implement the documented intent: the point -> seed -> proposal
+    index composition (tests/test_refparity_modules.py pins the rest of
+    the module bit-for-bit against the reference with this path zeroed);
   * box-corner embedding: Linear(27 -> hidden) of [center, corners-center];
   * MultiHeadAttention with way='add'.
 """
