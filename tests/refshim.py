@@ -118,6 +118,19 @@ def load_reference():
         torch.nn.Module.cuda = lambda self, *a, **k: self
         torch.cuda.FloatTensor = torch.FloatTensor
         torch.cuda.LongTensor = torch.LongTensor
+        # the vendored xbert imports symbols that current transformers
+        # moved to pytorch_utils; backfill them
+        try:
+            import transformers.modeling_utils as _mu
+            import transformers.pytorch_utils as _ptu
+
+            for _n in ("apply_chunking_to_forward",
+                       "find_pruneable_heads_and_indices",
+                       "prune_linear_layer"):
+                if not hasattr(_mu, _n):
+                    setattr(_mu, _n, getattr(_ptu, _n))
+        except ImportError:
+            pass
         if REF_ROOT not in sys.path:
             sys.path.insert(0, REF_ROOT)
         _loaded = True

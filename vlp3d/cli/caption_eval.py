@@ -126,7 +126,7 @@ def main(argv=None):
         out = jax.device_get(infer(state.params, state.batch_stats, arrays))
         feats = out["aggregated_vote_features"]
         b, k, c = feats.shape
-        obj_token = (feats * 2.0).reshape(b * k, 1, c)
+        obj_token = feats.reshape(b * k, 1, c)
         ys = greedy_decode(
             decoder, cap_vars, obj_token, config.model.max_des_len
         )

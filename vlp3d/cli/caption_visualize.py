@@ -97,7 +97,7 @@ def main(argv=None):
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
         out = jax.device_get(infer(state.params, state.batch_stats, arrays))
         b, k, c = out["aggregated_vote_features"].shape
-        obj_token = (out["aggregated_vote_features"] * 2.0).reshape(b * k, 1, c)
+        obj_token = out["aggregated_vote_features"].reshape(b * k, 1, c)
         ys = np.asarray(
             greedy_decode(
                 decoder,

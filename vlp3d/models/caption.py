@@ -6,10 +6,12 @@ reference instantiates an annotated-transformer EncoderDecoder with
 DECODER-ONLY stack: DecoderLayer skips cross-attention entirely when
 early_guide is set (transformer_captioner.py:249-254) and conditioning
 happens purely through a prepended "object indicator" token — the feature
-of the proposal nearest to the GT ref center at train time
-(:496-508), and (a reference quirk reproduced here) 2x the proposal's own
-feature at eval time (decode() adds memory onto the already-equal
-obj_indicator, :282-288).
+of the proposal nearest to the GT ref center at train time (:496-508), and
+the proposal's own feature at eval time. (decode()'s obj_indicator+memory
+doubling branch, :282-288, never triggers in the default
+use_transformer_encoder=False path: forward_eval repeat_interleaves src to
+B*K rows first, so memory and tgt batch dims are equal — pinned by
+tests/test_refparity_caption.py.)
 
 TPU-first deltas from the reference:
   * greedy decode is a single jitted `lax.scan` over steps on a fixed
@@ -47,6 +49,27 @@ def sinusoidal_positions(max_len: int, d_model: int) -> jax.Array:
     pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
     pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
     return pe
+
+
+class RefLayerNorm(nn.Module):
+    """The annotated-transformer LayerNorm the captioner stack uses
+    (transformer_captioner.py:115-127): a*(x-mean)/(std + eps) + b, where
+    std is torch's BESSEL-CORRECTED std and eps is added to the std (not
+    the variance) — both unlike standard LN. Param names match
+    nn.LayerNorm (scale/bias) so checkpoints are interchangeable.
+    Verified bit-for-bit against the reference module in
+    tests/test_refparity_caption.py."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True) * (d / (d - 1))
+        return scale * (x - mean) / (jnp.sqrt(var) + self.eps) + bias
 
 
 class DecoderSelfAttention(nn.Module):
@@ -113,11 +136,11 @@ class CaptionDecoderLayer(nn.Module):
     dropout: float = 0.1
 
     def setup(self):
-        self.ln_attn = nn.LayerNorm(epsilon=1e-6)
+        self.ln_attn = RefLayerNorm()
         self.self_attn = DecoderSelfAttention(
             self.d_model, self.heads, self.dropout
         )
-        self.ln_ffn = nn.LayerNorm(epsilon=1e-6)
+        self.ln_ffn = RefLayerNorm()
         self.ffn1 = nn.Dense(self.d_ff)
         self.ffn2 = nn.Dense(self.d_model)
         self.drop = nn.Dropout(self.dropout)
@@ -166,7 +189,7 @@ class CaptionDecoder(nn.Module):
             )
             for i in range(self.n_layers)
         ]
-        self.final_ln = nn.LayerNorm(epsilon=1e-6, name="final_ln")
+        self.final_ln = RefLayerNorm(name="final_ln")
         self.generator = nn.Dense(self.vocab_size, name="generator")
         self.pe = sinusoidal_positions(self.max_len + 1, self.d_model)
         self.pe_drop = nn.Dropout(self.dropout, name="pe_drop")
@@ -285,7 +308,7 @@ def nearest_proposal_token(agg_features, agg_xyz, ref_center, lang_num_max):
 def greedy_decode(
     decoder_def: CaptionDecoder,
     variables,
-    obj_token: jax.Array,  # (N, 1, d) — already 2x feature, see module doc
+    obj_token: jax.Array,  # (N, 1, d) — the proposal's feature (1x)
     max_len: int,
     start_id: int = CLS_ID,
 ):

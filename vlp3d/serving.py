@@ -121,7 +121,7 @@ class CaptionPredictor(_StreamingPredictor):
             out = self.model.apply(variables, b, train=False, is_eval=True)
             feats = out["aggregated_vote_features"]
             bsz, k, c = feats.shape
-            obj_token = (feats * 2.0).reshape(bsz * k, 1, c)
+            obj_token = feats.reshape(bsz * k, 1, c)
             ys = greedy_decode(
                 decoder, {"params": cap}, obj_token, max_des_len
             )

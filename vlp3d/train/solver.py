@@ -513,7 +513,7 @@ class Solver:
             out, _ = eval_step(self.state, sharded)
             feats = out["aggregated_vote_features"]
             b, k, c = feats.shape
-            obj_token = (feats * 2.0).reshape(b * k, 1, c)
+            obj_token = feats.reshape(b * k, 1, c)
             ys = greedy_decode(
                 decoder, cap_vars, obj_token, cfg.model.max_des_len
             )
