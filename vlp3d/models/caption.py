@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from vlp3d.geometry.nn_distance import nn_distance
+from vlp3d.models.layers import RefLayerNorm
 
 PAD_ID = 0
 CLS_ID = 101
@@ -49,27 +50,6 @@ def sinusoidal_positions(max_len: int, d_model: int) -> jax.Array:
     pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
     pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
     return pe
-
-
-class RefLayerNorm(nn.Module):
-    """The annotated-transformer LayerNorm the captioner stack uses
-    (transformer_captioner.py:115-127): a*(x-mean)/(std + eps) + b, where
-    std is torch's BESSEL-CORRECTED std and eps is added to the std (not
-    the variance) — both unlike standard LN. Param names match
-    nn.LayerNorm (scale/bias) so checkpoints are interchangeable.
-    Verified bit-for-bit against the reference module in
-    tests/test_refparity_caption.py."""
-
-    eps: float = 1e-6
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        d = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (d,))
-        bias = self.param("bias", nn.initializers.zeros, (d,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True) * (d / (d - 1))
-        return scale * (x - mean) / (jnp.sqrt(var) + self.eps) + bias
 
 
 class DecoderSelfAttention(nn.Module):

@@ -224,3 +224,24 @@ class PReLU(nn.Module):
             (self.channels,),
         )
         return jnp.where(x >= 0, x, alpha * x)
+
+
+class RefLayerNorm(nn.Module):
+    """The annotated-transformer LayerNorm the captioner stack uses
+    (transformer_captioner.py:115-127): a*(x-mean)/(std + eps) + b, where
+    std is torch's BESSEL-CORRECTED std and eps is added to the std (not
+    the variance) — both unlike standard LN. Param names match
+    nn.LayerNorm (scale/bias) so checkpoints are interchangeable.
+    Verified bit-for-bit against the reference module in
+    tests/test_refparity_caption.py."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True) * (d / (d - 1))
+        return scale * (x - mean) / (jnp.sqrt(var) + self.eps) + bias

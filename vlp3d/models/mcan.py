@@ -5,7 +5,8 @@ SA (self-attention) encoder over language, SGA (self + guided attention)
 decoder over object proposals, MCAN_ED encoder-decoder (hidden 128,
 heads 8; ScanQA uses num_layers=2, qa_module.py:22, 83).
 Masks are True where positions should be suppressed (mcan_module.py's
-masked_fill convention).
+masked_fill convention). LayerNorms use the reference's torch-std
+variant (RefLayerNorm) for exact parity.
 """
 
 from __future__ import annotations
@@ -13,6 +14,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from vlp3d.models.layers import RefLayerNorm
 
 
 class MHAtt(nn.Module):
@@ -64,11 +67,11 @@ class SA(nn.Module):
         y = MHAtt(self.hidden_size, self.num_heads, self.pdrop)(
             x, x, x, x_mask, deterministic=deterministic
         )
-        x = nn.LayerNorm(epsilon=1e-6)(
+        x = RefLayerNorm()(
             x + nn.Dropout(self.pdrop)(y, deterministic=deterministic)
         )
         y = FFN(self.hidden_size, self.pdrop)(x, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-6)(
+        return RefLayerNorm()(
             x + nn.Dropout(self.pdrop)(y, deterministic=deterministic)
         )
 
@@ -83,17 +86,17 @@ class SGA(nn.Module):
         z = MHAtt(self.hidden_size, self.num_heads, self.pdrop)(
             x, x, x, x_mask, deterministic=deterministic
         )
-        x = nn.LayerNorm(epsilon=1e-6)(
+        x = RefLayerNorm()(
             x + nn.Dropout(self.pdrop)(z, deterministic=deterministic)
         )
         z = MHAtt(self.hidden_size, self.num_heads, self.pdrop)(
             y, y, x, y_mask, deterministic=deterministic
         )
-        x = nn.LayerNorm(epsilon=1e-6)(
+        x = RefLayerNorm()(
             x + nn.Dropout(self.pdrop)(z, deterministic=deterministic)
         )
         z = FFN(self.hidden_size, self.pdrop)(x, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-6)(
+        return RefLayerNorm()(
             x + nn.Dropout(self.pdrop)(z, deterministic=deterministic)
         )
 

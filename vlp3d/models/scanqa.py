@@ -14,6 +14,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vlp3d.models.layers import RefLayerNorm
+
 from vlp3d.config import Config
 from vlp3d.models.answer import AttFlat
 from vlp3d.models.backbone import PointNet2Backbone
@@ -121,7 +123,7 @@ class ScanQA(nn.Module):
             self.hidden_size, flat_out_size=self.mcan_flat_out_size,
             name="attflat_visual",
         )(obj_h, obj_mask, train=train)
-        fuse = nn.LayerNorm(epsilon=1e-6, name="fusion_norm")(
+        fuse = RefLayerNorm(name="fusion_norm")(
             lang_flat + obj_flat
         )
 
