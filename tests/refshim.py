@@ -93,6 +93,140 @@ def _numba_module():
     return mod
 
 
+def _pointnet2_ext_module(torch):
+    """Functional CPU-torch implementation of the pointnet2._ext CUDA
+    kernels (semantics per lib/pointnet2/_ext_src/src/*.cu, identical to
+    tests/oracles.py). Lets the reference backbone / proposal modules run
+    on CPU as parity oracles."""
+    mod = types.ModuleType("pointnet2._ext")
+
+    def furthest_point_sampling(xyz, npoint):
+        # sampling_gpu.cu:74-178: start at 0, skip |p|^2<=1e-3, first-max
+        b, n, _ = xyz.shape
+        pts = xyz.double()
+        valid = (pts ** 2).sum(-1) > 1e-3
+        temp = torch.full((b, n), 1e10, dtype=torch.float64)
+        out = torch.zeros(b, npoint, dtype=torch.int32)
+        old = torch.zeros(b, dtype=torch.long)
+        rows = torch.arange(b)
+        for j in range(1, npoint):
+            d = ((pts - pts[rows, old][:, None, :]) ** 2).sum(-1)
+            temp = torch.minimum(temp, d)
+            cand = torch.where(valid, temp, torch.full_like(temp, -1.0))
+            old = cand.argmax(1)
+            out[:, j] = old.int()
+        return out
+
+    def gather_points(features, idx):
+        # (B, C, N), (B, np) -> (B, C, np)
+        return torch.gather(
+            features, 2,
+            idx.long()[:, None, :].expand(-1, features.shape[1], -1))
+
+    def gather_points_grad(grad_out, idx, n):
+        b, c, np_ = grad_out.shape
+        g = torch.zeros(b, c, n, dtype=grad_out.dtype)
+        return g.scatter_add(
+            2, idx.long()[:, None, :].expand(-1, c, -1), grad_out)
+
+    def ball_query(new_xyz, xyz, radius, nsample):
+        # ball_query_gpu.cu:14-49: first nsample in scan order,
+        # pad-with-first, zeros when empty
+        b, m, _ = new_xyz.shape
+        n = xyz.shape[1]
+        d2 = ((new_xyz[:, :, None, :] - xyz[:, None, :, :]) ** 2).sum(-1)
+        inball = d2 < radius * radius
+        cnt = inball.cumsum(-1)
+        sel = inball & (cnt <= nsample)
+        out = torch.zeros(b, m, nsample, dtype=torch.long)
+        bi, mi, ni = sel.nonzero(as_tuple=True)
+        out[bi, mi, (cnt[bi, mi, ni] - 1)] = ni
+        total = cnt[..., -1].clamp(max=nsample)
+        pos = torch.arange(nsample)
+        pad = pos[None, None, :] >= total[..., None]
+        out = torch.where(pad, out[..., :1], out)
+        return out.int()
+
+    def group_points(features, idx):
+        # (B, C, N), (B, np, ns) -> (B, C, np, ns)
+        b, c, n = features.shape
+        _, np_, ns = idx.shape
+        flat = torch.gather(
+            features, 2,
+            idx.long().reshape(b, 1, np_ * ns).expand(-1, c, -1))
+        return flat.reshape(b, c, np_, ns)
+
+    def group_points_grad(grad_out, idx, n):
+        b, c, np_, ns = grad_out.shape
+        g = torch.zeros(b, c, n, dtype=grad_out.dtype)
+        return g.scatter_add(
+            2, idx.long().reshape(b, 1, np_ * ns).expand(-1, c, -1),
+            grad_out.reshape(b, c, np_ * ns))
+
+    def three_nn(unknown, known):
+        # interpolate_gpu.cu:14-64: 3 smallest squared distances, strict <
+        d2 = ((unknown[:, :, None, :] - known[:, None, :, :]) ** 2).sum(-1)
+        d2s, idx = torch.sort(d2, dim=-1, stable=True)
+        return d2s[..., :3].contiguous(), idx[..., :3].int().contiguous()
+
+    def three_interpolate(features, idx, weight):
+        # (B, c, m), (B, n, 3), (B, n, 3) -> (B, c, n)
+        b, c, m = features.shape
+        n = idx.shape[1]
+        gathered = torch.gather(
+            features, 2,
+            idx.long().reshape(b, 1, n * 3).expand(-1, c, -1)
+        ).reshape(b, c, n, 3)
+        return (gathered * weight[:, None, :, :]).sum(-1)
+
+    def three_interpolate_grad(grad_out, idx, weight, m):
+        b, c, n = grad_out.shape
+        g = torch.zeros(b, c, m, dtype=grad_out.dtype)
+        contrib = (grad_out[..., None] * weight[:, None, :, :]).reshape(
+            b, c, n * 3)
+        return g.scatter_add(
+            2, idx.long().reshape(b, 1, n * 3).expand(-1, c, -1), contrib)
+
+    mod.furthest_point_sampling = furthest_point_sampling
+    mod.gather_points = gather_points
+    mod.gather_points_grad = gather_points_grad
+    mod.ball_query = ball_query
+    mod.group_points = group_points
+    mod.group_points_grad = group_points_grad
+    mod.three_nn = three_nn
+    mod.three_interpolate = three_interpolate
+    mod.three_interpolate_grad = three_interpolate_grad
+    return mod
+
+
+def _pytorch3d_module(torch):
+    """Stub for pytorch3d.ops.iou_box3d.box3d_overlap, exact for the
+    axis-aligned corner boxes the reference feeds it (create_box_batch,
+    constrast_module.py:9-15 — ScanNet headings are identically 0, see
+    model_util_scannet.py:133-143)."""
+    pkg = types.ModuleType("pytorch3d")
+    ops = types.ModuleType("pytorch3d.ops")
+    mod = types.ModuleType("pytorch3d.ops.iou_box3d")
+
+    def box3d_overlap(boxes1, boxes2, eps=1e-4):
+        mins1, maxs1 = boxes1.min(dim=1).values, boxes1.max(dim=1).values
+        mins2, maxs2 = boxes2.min(dim=1).values, boxes2.max(dim=1).values
+        lo = torch.maximum(mins1[:, None, :], mins2[None, :, :])
+        hi = torch.minimum(maxs1[:, None, :], maxs2[None, :, :])
+        inter = (hi - lo).clamp(min=0).prod(-1)
+        vol1 = (maxs1 - mins1).prod(-1)
+        vol2 = (maxs2 - mins2).prod(-1)
+        union = vol1[:, None] + vol2[None, :] - inter
+        return inter, inter / union
+
+    mod.box3d_overlap = box3d_overlap
+    ops.iou_box3d = mod
+    pkg.ops = ops
+    sys.modules["pytorch3d"] = pkg
+    sys.modules["pytorch3d.ops"] = ops
+    sys.modules["pytorch3d.ops.iou_box3d"] = mod
+
+
 _loaded = False
 
 
@@ -112,6 +246,21 @@ def load_reference():
         # trimesh is only touched inside pc_utils helpers our parity
         # tests never call; an empty module satisfies the import
         sys.modules.setdefault("trimesh", types.ModuleType("trimesh"))
+        # plyfile is only touched inside pc_utils PLY io helpers our
+        # parity tests never call (pc_utils.py:15-20 hard-exits when the
+        # import fails, so the stub must pre-exist)
+        ply = types.ModuleType("plyfile")
+        ply.PlyData = type("PlyData", (), {})
+        ply.PlyElement = type("PlyElement", (), {})
+        sys.modules.setdefault("plyfile", ply)
+        if "pytorch3d" not in sys.modules:
+            _pytorch3d_module(torch)
+        if "pointnet2._ext" not in sys.modules:
+            pkg = types.ModuleType("pointnet2")
+            ext = _pointnet2_ext_module(torch)
+            pkg._ext = ext
+            sys.modules["pointnet2"] = pkg
+            sys.modules["pointnet2._ext"] = ext
         # the reference hard-codes .cuda() on tensors/modules; identity
         # on CPU-only torch
         torch.Tensor.cuda = lambda self, *a, **k: self
@@ -133,6 +282,11 @@ def load_reference():
             pass
         if REF_ROOT not in sys.path:
             sys.path.insert(0, REF_ROOT)
+        # lib/pointnet2 modules import siblings top-level
+        # (pointnet2_utils.py:17 `import pytorch_utils`)
+        pn2 = os.path.join(REF_ROOT, "lib", "pointnet2")
+        if pn2 not in sys.path:
+            sys.path.append(pn2)
         _loaded = True
     torch.manual_seed(0)
     return torch

@@ -269,6 +269,127 @@ def test_lang_classification_loss(torch, data):
     assert abs(float(ours) - ref) < 1e-5
 
 
+@pytest.mark.parametrize("epoch", [10, 80])
+def test_joint_loss_orchestrator(torch, dc, data, epoch):
+    """Full get_joint_loss (loss_joint.py:26-227) vs compute_joint_loss:
+    pins the weight tree (10x detection, 0.3 blocks, epoch-50 ref-weight
+    switch, 0.5/2.5 contrastive mix) and every stored metric key."""
+    import argparse
+
+    from lib.loss_helper.loss_joint import get_joint_loss
+
+    from vlp3d.config import Config, DatasetConfig, LossConfig, ModelConfig
+
+    args = argparse.Namespace(
+        use_reg_head=False, use_kl_loss=True, debug=False,
+        use_attr_loss=True, use_vote_weight=True, use_answer=True,
+        use_con=True, use_mlm=False, use_diou_loss=True)
+
+    rng = np.random.default_rng(13)
+    n_ans = 7
+    answer_scores = rng.normal(0, 1, (B, n_ans)).astype(np.float32)
+    answer_cat_scores = rng.uniform(0, 1, (B, n_ans)).astype(np.float32)
+    # contrast losses are computed by the module forward; the orchestrator
+    # just mixes them in (epoch-gated inside the module on our side)
+    lang_con = 0.37 if epoch >= 50 else 0.0
+    iou_con = 0.81 if epoch >= 50 else 0.0
+
+    td = as_torch(torch, data)
+    td["epoch"] = epoch
+    td["vote_label_mask"] = td["vote_label_mask"].float()
+    td["answer_scores"] = torch.from_numpy(answer_scores)
+    td["answer_cat_scores"] = torch.from_numpy(answer_cat_scores)
+    td["lang_con_loss"] = torch.tensor(lang_con)
+    td["iou_con_loss"] = torch.tensor(iou_con)
+    td = get_joint_loss(
+        args, td, "cpu", dc, None, 0, detection=True, caption=True,
+        reference=True, use_lang_classifier=True)
+
+    cfg = Config(
+        dataset=DatasetConfig(
+            mean_size_path="/root/reference/data/scannet/meta_data/"
+                           "scannet_reference_means.npz"),
+        model=ModelConfig(
+            use_kl_loss=True, use_vote_weight=True, use_con=True,
+            use_mlm=False, use_answer=True, use_lang_classifier=True),
+        loss=LossConfig(use_diou_loss=True, use_attr_loss=True),
+    )
+    outputs = {
+        "seed_xyz": jnp.asarray(data["seed_xyz"]),
+        "vote_xyz": jnp.asarray(data["vote_xyz"]),
+        "seed_inds": jnp.asarray(data["seed_inds"].astype(np.int32)),
+        "aggregated_vote_xyz": jnp.asarray(data["aggregated_vote_xyz"]),
+        "objectness_scores": jnp.asarray(data["objectness_scores"]),
+        "heading_scores": jnp.asarray(data["heading_scores"]),
+        "heading_residuals_normalized": jnp.asarray(
+            data["heading_residuals_normalized"]),
+        "rois": jnp.asarray(data["rois"]),
+        "sem_cls_scores": jnp.asarray(data["sem_cls_scores"]),
+        "pred_center": jnp.asarray(data["pred_center"]),
+        "pred_size": jnp.asarray(data["pred_size"]),
+        "cluster_ref": jnp.asarray(data["cluster_ref"]),
+        "objectness_masks": jnp.argmax(
+            jnp.asarray(data["objectness_scores"]), -1).astype(jnp.float32),
+        "lang_scores": jnp.asarray(data["lang_scores"]),
+        "vote_weights": jnp.asarray(data["vote_weights"]),
+        "alpha": jnp.asarray(data["alpha"]),
+        "lang_con_loss": jnp.asarray(lang_con, jnp.float32),
+        "iou_con_loss": jnp.asarray(iou_con, jnp.float32),
+        "answer_scores": jnp.asarray(answer_scores),
+        "lang_cap": jnp.asarray(data["lang_cap"]),
+        "good_bbox_masks": jnp.asarray(data["good_bbox_masks"]),
+    }
+    batch = {
+        "vote_label": jnp.asarray(data["vote_label"]),
+        "vote_label_mask": jnp.asarray(
+            data["vote_label_mask"].astype(np.float32)),
+        "center_label": jnp.asarray(data["center_label"]),
+        "heading_class_label": jnp.asarray(data["heading_class_label"]),
+        "heading_residual_label": jnp.asarray(
+            data["heading_residual_label"]),
+        "size_class_label": jnp.asarray(data["size_class_label"]),
+        "size_residual_label": jnp.asarray(data["size_residual_label"]),
+        "sem_cls_label": jnp.asarray(data["sem_cls_label"]),
+        "ref_center_label_list": jnp.asarray(data["ref_center_label_list"]),
+        "ref_size_class_label_list": jnp.asarray(
+            data["ref_size_class_label_list"]),
+        "ref_size_residual_label_list": jnp.asarray(
+            data["ref_size_residual_label_list"]),
+        "object_cat_list": jnp.asarray(data["object_cat_list"]),
+        "instance_labels": jnp.asarray(
+            data["instance_labels"].astype(np.int32)),
+        "lang_num": jnp.asarray(data["lang_num"]),
+        "input_ids": jnp.asarray(data["input_ids"]),
+        "answer_cat_scores": jnp.asarray(answer_cat_scores),
+        "epoch": jnp.asarray(epoch),
+        "istrain": jnp.asarray(1),
+        "random": jnp.asarray(data["random"], jnp.float32),
+    }
+    total, m = __import__(
+        "vlp3d.losses.joint", fromlist=["compute_joint_loss"]
+    ).compute_joint_loss(cfg, outputs, batch, detection=True,
+                         reference=True, caption=True)
+
+    for key, tol in (
+        ("vote_loss", 1e-5), ("objectness_loss", 1e-5),
+        ("heading_cls_loss", 1e-5), ("heading_reg_loss", 1e-5),
+        ("size_distance_loss", 2e-5), ("sem_cls_loss", 1e-5),
+        ("box_loss", 5e-4), ("ref_loss", 2e-5), ("diou_loss", 2e-5),
+        ("kl_loss", 5e-4), ("lang_loss", 1e-5), ("attr_loss", 1e-5),
+        ("vote_weight_loss", 1e-5), ("answer_loss", 1e-5),
+        ("cap_loss", 2e-5), ("cap_acc", 1e-6), ("obj_acc", 1e-6),
+        ("pos_ratio", 1e-7), ("neg_ratio", 1e-7),
+    ):
+        assert abs(float(m[key]) - float(td[key])) < tol, key
+    if epoch >= 50:
+        assert abs(float(m["con_loss"]) - float(td["con_loss"])) < 1e-6
+    assert abs(float(total) - float(td["loss"])) < 1e-3
+    np.testing.assert_array_equal(
+        np.asarray(m["objectness_label"]), td["objectness_label"].numpy())
+    np.testing.assert_array_equal(
+        np.asarray(m["cluster_labels"]), td["cluster_labels"].numpy())
+
+
 def test_cap_loss(torch, dc, data):
     from lib.loss_helper.loss_captioning import compute_cap_loss
 

@@ -76,6 +76,10 @@ class BertEmbeddings(nn.Module):
 class BertLayer(nn.Module):
     config: BertConfig
     causal: bool = False  # decoder self-attention (xbert.py:883-918)
+    # ffn=False yields just the self-attention sublayer (attention +
+    # output dense + residual LayerNorm) — used by BertFusionLayer, where
+    # the FFN runs AFTER cross-attention (xbert.py:458-516)
+    ffn: bool = True
 
     @nn.compact
     def __call__(self, x, attention_mask, *, deterministic=True):
@@ -104,6 +108,8 @@ class BertLayer(nn.Module):
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_LayerNorm")(
             x + ctx
         )
+        if not self.ffn:
+            return x
 
         y = nn.Dense(c.intermediate_size, name="intermediate")(x)
         y = nn.gelu(y, approximate=False)
@@ -117,8 +123,11 @@ class BertLayer(nn.Module):
 class BertFusionLayer(nn.Module):
     """Encoder layer with cross-attention (the ALBEF-style fusion layers,
     xbert.py: layers [fusion_layer, num_hidden_layers) in 'fusion' /
-    'multi_modal' mode). causal=True makes it a BertLMHeadModel-style
-    decoder layer."""
+    'multi_modal' mode). Sublayer order matches xbert.py:458-516 exactly:
+    self-attention -> cross-attention -> feed-forward, each with its own
+    residual LayerNorm (the FFN consumes the CROSS-attention output).
+    causal=True makes it a BertLMHeadModel-style decoder layer.
+    Verified against the vendored xbert in tests/test_refparity_xbert.py."""
 
     config: BertConfig
     causal: bool = False
@@ -131,7 +140,10 @@ class BertFusionLayer(nn.Module):
         dk = c.hidden_size // h
         b, s, _ = x.shape
 
-        x = BertLayer(self.config, causal=self.causal, name="self")(
+        # self-attention sublayer only (ffn=False); the FFN runs after
+        # cross-attention below
+        x = BertLayer(self.config, causal=self.causal, ffn=False,
+                      name="self")(
             x, attention_mask, deterministic=deterministic
         )
         t = encoder_states.shape[1]
@@ -146,10 +158,19 @@ class BertFusionLayer(nn.Module):
         if encoder_mask is not None:
             att = att + (1.0 - encoder_mask[:, None, None, :]) * -10000.0
         att = jax.nn.softmax(att, axis=-1)
+        att = nn.Dropout(c.attention_dropout)(att, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s, c.hidden_size)
         ctx = nn.Dense(c.hidden_size, name="xout")(ctx)
         ctx = nn.Dropout(c.hidden_dropout)(ctx, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="xln")(x + ctx)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="xln")(x + ctx)
+
+        y = nn.Dense(c.intermediate_size, name="intermediate")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c.hidden_size, name="output")(y)
+        y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_LayerNorm")(
+            x + y
+        )
 
 
 class BertTextEncoder(nn.Module):

@@ -62,13 +62,16 @@ def three_interpolate(
 def interpolate_features(
     unknown: jax.Array, known: jax.Array, known_feats: jax.Array
 ) -> jax.Array:
-    """three_nn + inverse-squared-distance weighting, as in the FP module.
+    """three_nn + inverse-distance weighting, as in the FP module.
 
-    Weights are 1/(d2 + 1e-8) normalized over the 3 neighbours
-    (pointnet2_modules.py:395-397).
+    Weights are 1/(sqrt(d2) + 1e-8) normalized over the 3 neighbours:
+    the reference's three_nn WRAPPER returns euclidean distances
+    (torch.sqrt at pointnet2_utils.py:139), which feed 1/(dist + 1e-8)
+    at pointnet2_modules.py:395-397. Pinned against the reference
+    PointnetFPModule in tests/test_refparity_backbone.py.
     """
     dist2, idx = three_nn(unknown, known)
     dist2 = lax.stop_gradient(dist2)
-    recip = 1.0 / (dist2 + 1e-8)
+    recip = 1.0 / (jnp.sqrt(dist2) + 1e-8)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
     return three_interpolate(known_feats, idx, weight)
