@@ -356,9 +356,14 @@ class APCalculator:
         out = {}
         aps = []
         recalls = []
-        for cls in sorted(gt_by_cls):
+        # the reference's eval_det (utils/eval_det.py:165-188) seeds an
+        # empty gt entry for EVERY predicted class, so prediction-only
+        # classes are evaluated too (AP 0) and count toward the mAP mean
+        # — with per-class proposals that is all num_class classes
+        for cls in sorted(set(gt_by_cls) | set(pred_by_cls)):
             rec, _, ap = eval_det_cls(
-                pred_by_cls.get(cls, {}), gt_by_cls[cls], self.ap_iou_thresh
+                pred_by_cls.get(cls, {}), gt_by_cls.get(cls, {}),
+                self.ap_iou_thresh
             )
             name = self.class2type.get(cls, str(cls))
             out[f"{name} Average Precision"] = ap
