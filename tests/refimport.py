@@ -84,6 +84,52 @@ def import_point_mlp(sd, prefix, layers):
     return pm, sm
 
 
+def lin(sd, name):
+    """torch nn.Linear -> Dense params."""
+    return {"kernel": jnp.asarray(sd[name + ".weight"].numpy().T),
+            "bias": jnp.asarray(sd[name + ".bias"].numpy())}
+
+
+def ln(sd, name):
+    """torch LayerNorm -> flax LayerNorm params."""
+    return {"scale": jnp.asarray(sd[name + ".weight"].numpy()),
+            "bias": jnp.asarray(sd[name + ".bias"].numpy())}
+
+
+def emb(sd, name):
+    return {"embedding": jnp.asarray(sd[name + ".weight"].numpy())}
+
+
+def import_xbert_text(sd, fusion_layer, prefix="bert."):
+    """Vendored-xbert BertModel state dict (optionally under a
+    'bert.' prefix, as in BertForMaskedLM) -> our BertTextEncoder
+    text-mode tree: embeddings + self-attention layers [0, fusion_layer)
+    (xbert.py:550-552)."""
+    p = prefix
+    params = {"embeddings": {
+        "word_embeddings": emb(sd, f"{p}embeddings.word_embeddings"),
+        "position_embeddings": emb(
+            sd, f"{p}embeddings.position_embeddings"),
+        "token_type_embeddings": emb(
+            sd, f"{p}embeddings.token_type_embeddings"),
+        "LayerNorm": ln(sd, f"{p}embeddings.LayerNorm"),
+    }}
+    for i in range(fusion_layer):
+        q = f"{p}encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "query": lin(sd, f"{q}.attention.self.query"),
+            "key": lin(sd, f"{q}.attention.self.key"),
+            "value": lin(sd, f"{q}.attention.self.value"),
+            "attention_output": lin(sd, f"{q}.attention.output.dense"),
+            "attention_LayerNorm": ln(
+                sd, f"{q}.attention.output.LayerNorm"),
+            "intermediate": lin(sd, f"{q}.intermediate.dense"),
+            "output": lin(sd, f"{q}.output.dense"),
+            "output_LayerNorm": ln(sd, f"{q}.output.LayerNorm"),
+        }
+    return params
+
+
 def randomize_bn_stats(torch, module):
     """Give every BatchNorm non-trivial eval statistics/affine params so
     import bugs can't hide behind the mean-0/var-1/weight-1 init."""

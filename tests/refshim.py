@@ -209,6 +209,11 @@ def _pytorch3d_module(torch):
     mod = types.ModuleType("pytorch3d.ops.iou_box3d")
 
     def box3d_overlap(boxes1, boxes2, eps=1e-4):
+        # real pytorch3d raises on empty/invalid box batches — the
+        # reference RELIES on that (its try/except skips scenes with no
+        # positive proposals, constrast_module.py:104-125)
+        if boxes1.numel() == 0 or boxes2.numel() == 0:
+            raise ValueError("box3d_overlap: empty box batch")
         mins1, maxs1 = boxes1.min(dim=1).values, boxes1.max(dim=1).values
         mins2, maxs2 = boxes2.min(dim=1).values, boxes2.max(dim=1).values
         lo = torch.maximum(mins1[:, None, :], mins2[None, :, :])
