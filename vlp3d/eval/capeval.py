@@ -2,19 +2,25 @@
 
 Drop-in equivalents of the vendored pycocoevalcap-style scorers the
 reference uses (`lib/capeval/{bleu,cider,rouge,meteor}`): same interface
-(score(gts, res) with dicts key -> list[str]) and the standard published
-algorithms:
+(compute_score(gts, res) with dicts key -> list[str]) and EXACT value
+parity with the vendored code (tests/test_refparity_capeval.py),
+quirks included:
 
-  * BLEU: Papineni et al. corpus BLEU with per-corpus brevity penalty and
-    "closest" reference length, n = 1..4;
-  * CIDEr: Vedantam et al. tf-idf weighted n-gram cosine consensus
-    (n = 1..4, sigma = 6 length penalty), corpus-level idf;
-  * ROUGE-L: Lin et al. LCS F-measure with beta = 1.2, max over refs;
+  * BLEU (bleu_scorer.py): 'closest' reference length; brevity penalty
+    exp(1 - 1/ratio) with ratio = (testlen+1e-15)/(reflen+1e-9), applied
+    per sample AND at the corpus level; case-sensitive whitespace split;
+  * CIDEr (cider_scorer.py): RAW term frequency (no length
+    normalization), idf = log(N) - log(max(1, df)), CLIPPED similarity
+    min(h, r)*r, sigma = 6 gaussian length penalty on the (len-1) "bigram
+    length" delta, x10 scaling;
+  * ROUGE-L (rouge.py): beta = 1.2 F-measure of the INDEPENDENT maxima
+    of precision and recall over references (not max-F); split(" ");
   * METEOR: pure-Python exact+stem-lite matcher with the standard
     alpha=0.9/beta=3/gamma=0.5 parametrization. NOTE: the reference shells
-    out to meteor-1.5.jar (lib/capeval/meteor/meteor.py:12-24) which adds
-    WordNet synonym matching; this implementation uses exact + suffix-strip
-    matching only, so absolute values differ slightly from the jar.
+    out to meteor-1.5.jar (lib/capeval/meteor/meteor.py:12-24, the jar is
+    not in the checkout) which adds WordNet synonym matching; this
+    implementation uses exact + suffix-strip matching only, so absolute
+    values differ slightly from the jar.
 """
 
 from __future__ import annotations
@@ -24,6 +30,8 @@ from collections import Counter, defaultdict
 
 
 def _tokens(s: str) -> list:
+    """Lowercased whitespace tokens (Meteor only; the BLEU/CIDEr/ROUGE
+    ports below split exactly as the vendored scorers do)."""
     return s.lower().split()
 
 
@@ -31,58 +39,69 @@ def _ngrams(tokens, n):
     return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
 
 
+def _all_ngrams(tokens, n):
+    """Counts of every ngram order 1..n in one dict (precook,
+    cider_scorer.py:11-26)."""
+    counts = Counter()
+    for k in range(1, n + 1):
+        for i in range(len(tokens) - k + 1):
+            counts[tuple(tokens[i : i + k])] += 1
+    return counts
+
+
 # --------------------------------------------------------------- BLEU
 class Bleu:
+    """Corpus BLEU, value-exact vs lib/capeval/bleu (option='closest')."""
+
     def __init__(self, n: int = 4):
         self.n = n
 
     def compute_score(self, gts: dict, res: dict):
         small = 1e-9
         tiny = 1e-15
-        clipped = [0.0] * self.n
-        totals = [0.0] * self.n
-        cand_len = 0
-        ref_len = 0
+        tot_correct = [0.0] * self.n
+        tot_guess = [0.0] * self.n
+        tot_testlen = 0
+        tot_reflen = 0.0
         per_sample = [[] for _ in range(self.n)]
 
         for key in gts:
-            hyp = _tokens(res[key][0])
-            refs = [_tokens(r) for r in gts[key]]
-            cand_len += len(hyp)
-            # closest reference length
-            ref_len += min(
-                (abs(len(r) - len(hyp)), len(r)) for r in refs
-            )[1]
-            sample_c = []
-            sample_t = []
-            for n in range(1, self.n + 1):
-                h = _ngrams(hyp, n)
+            hyp = res[key][0].split()
+            refs = [r.split() for r in gts[key]]
+            testlen = len(hyp)
+            reflen = min((abs(len(r) - testlen), len(r)) for r in refs)[1]
+            tot_testlen += testlen
+            tot_reflen += reflen
+
+            bleu = 1.0
+            for k in range(self.n):
+                nn = k + 1
+                h = _ngrams(hyp, nn)
                 max_ref = Counter()
                 for r in refs:
-                    for gram, cnt in _ngrams(r, n).items():
+                    for gram, cnt in _ngrams(r, nn).items():
                         max_ref[gram] = max(max_ref[gram], cnt)
-                c = sum(min(cnt, max_ref[g]) for g, cnt in h.items())
-                t = max(len(hyp) - n + 1, 0)
-                clipped[n - 1] += c
-                totals[n - 1] += t
-                sample_c.append(c)
-                sample_t.append(t)
-            # per-sample smoothed scores (pycocoevalcap reports these too)
-            prod = 1.0
-            for n in range(self.n):
-                prod *= (sample_c[n] + tiny) / (sample_t[n] + small)
-                per_sample[n].append(prod ** (1.0 / (n + 1)))
+                correct = sum(min(cnt, max_ref[g]) for g, cnt in h.items())
+                guess = max(testlen - k, 0)
+                tot_correct[k] += correct
+                tot_guess[k] += guess
+                bleu *= (correct + tiny) / (guess + small)
+                per_sample[k].append(bleu ** (1.0 / nn))
+            # per-sample brevity penalty (bleu_scorer.py:236-239)
+            ratio = (testlen + tiny) / (reflen + small)
+            if ratio < 1:
+                for k in range(self.n):
+                    per_sample[k][-1] *= math.exp(1 - 1 / ratio)
 
-        bp = (
-            1.0
-            if cand_len > ref_len
-            else math.exp(1 - ref_len / (cand_len + small))
-        )
         scores = []
-        prod = 1.0
-        for n in range(self.n):
-            prod *= (clipped[n] + tiny) / (totals[n] + small)
-            scores.append(bp * (prod ** (1.0 / (n + 1))))
+        bleu = 1.0
+        for k in range(self.n):
+            bleu *= (tot_correct[k] + tiny) / (tot_guess[k] + small)
+            scores.append(bleu ** (1.0 / (k + 1)))
+        ratio = (tot_testlen + tiny) / (tot_reflen + small)
+        if ratio < 1:
+            for k in range(self.n):
+                scores[k] *= math.exp(1 - 1 / ratio)
         return scores, per_sample
 
     def score(self, gts, res):
@@ -91,64 +110,55 @@ class Bleu:
 
 # --------------------------------------------------------------- CIDEr
 class Cider:
+    """Value-exact vs lib/capeval/cider: raw-tf tf-idf vectors, clipped
+    min(h,r)*r similarity, per-order cosine averaged then /nrefs x10."""
+
     def __init__(self, n: int = 4, sigma: float = 6.0):
         self.n = n
         self.sigma = sigma
 
     def compute_score(self, gts: dict, res: dict):
-        # document frequency over reference sets
+        crefs = {
+            key: [_all_ngrams(r.split(), self.n) for r in gts[key]]
+            for key in gts
+        }
         df = defaultdict(float)
         for key in gts:
-            seen = set()
-            for r in gts[key]:
-                for n in range(1, self.n + 1):
-                    seen.update(_ngrams(_tokens(r), n).keys())
-            for g in seen:
+            for g in set(g for cnt in crefs[key] for g in cnt):
                 df[g] += 1.0
-        log_m = math.log(max(len(gts), 1))
+        ref_len = math.log(float(len(gts)))
 
-        def tfidf_vec(tokens):
-            vecs = []
-            lengths = []
-            for n in range(1, self.n + 1):
-                cnt = _ngrams(tokens, n)
-                total = max(sum(cnt.values()), 1)
-                vec = {}
-                norm = 0.0
-                for g, c in cnt.items():
-                    idf = log_m - math.log(max(df[g], 1.0))
-                    w = (c / total) * idf
-                    vec[g] = w
-                    norm += w * w
-                vecs.append((vec, math.sqrt(norm)))
-                lengths.append(len(tokens))
-            return vecs
+        def counts2vec(cnts):
+            vec = [defaultdict(float) for _ in range(self.n)]
+            norm = [0.0] * self.n
+            length = 0
+            for g, tf in cnts.items():
+                n = len(g) - 1
+                vec[n][g] = float(tf) * (ref_len - math.log(max(1.0, df[g])))
+                norm[n] += vec[n][g] ** 2
+                if n == 1:  # the reference's "length" counts bigrams
+                    length += tf
+            return vec, [math.sqrt(x) for x in norm], length
 
         scores = []
         for key in gts:
-            hyp_t = _tokens(res[key][0])
-            hv = tfidf_vec(hyp_t)
+            vec, norm, length = counts2vec(
+                _all_ngrams(res[key][0].split(), self.n)
+            )
             score = 0.0
-            for r in gts[key]:
-                ref_t = _tokens(r)
-                rv = tfidf_vec(ref_t)
-                sim = 0.0
+            for rc in crefs[key]:
+                vr, nr, lr = counts2vec(rc)
+                mult = math.exp(
+                    -(float(length - lr) ** 2) / (2 * self.sigma**2)
+                )
                 for n in range(self.n):
-                    (h_vec, h_norm), (r_vec, r_norm) = hv[n], rv[n]
-                    num = sum(
-                        h_vec[g] * r_vec[g] for g in h_vec if g in r_vec
+                    val = sum(
+                        min(vec[n][g], vr[n][g]) * vr[n][g] for g in vec[n]
                     )
-                    if h_norm > 0 and r_norm > 0:
-                        sim_n = num / (h_norm * r_norm)
-                    else:
-                        sim_n = 0.0
-                    delta = len(hyp_t) - len(ref_t)
-                    sim_n *= math.exp(
-                        -(delta**2) / (2 * self.sigma**2)
-                    )
-                    sim += sim_n
-                score += sim / self.n
-            scores.append(10.0 * score / max(len(gts[key]), 1))
+                    if norm[n] != 0 and nr[n] != 0:
+                        val /= norm[n] * nr[n]
+                    score += val * mult
+            scores.append(10.0 * score / self.n / len(gts[key]))
         mean = sum(scores) / max(len(scores), 1)
         return mean, scores
 
@@ -169,28 +179,32 @@ def _lcs_len(a, b):
 
 
 class Rouge:
+    """Value-exact vs lib/capeval/rouge: F(beta=1.2) of the independent
+    per-reference maxima of precision and recall (rouge.py:44-75)."""
+
     beta = 1.2
 
     def compute_score(self, gts: dict, res: dict):
         scores = []
         for key in gts:
-            hyp = _tokens(res[key][0])
-            best = 0.0
+            hyp = res[key][0].split(" ")
+            prec, rec = [], []
             for r in gts[key]:
-                ref = _tokens(r)
+                ref = r.split(" ")
                 lcs = _lcs_len(hyp, ref)
-                if lcs == 0:
-                    continue
-                p = lcs / max(len(hyp), 1)
-                rr = lcs / max(len(ref), 1)
+                prec.append(lcs / float(len(hyp)))
+                rec.append(lcs / float(len(ref)))
+            prec_max, rec_max = max(prec), max(rec)
+            if prec_max != 0 and rec_max != 0:
                 f = (
                     (1 + self.beta**2)
-                    * p
-                    * rr
-                    / (rr + self.beta**2 * p)
+                    * prec_max
+                    * rec_max
+                    / float(rec_max + self.beta**2 * prec_max)
                 )
-                best = max(best, f)
-            scores.append(best)
+            else:
+                f = 0.0
+            scores.append(f)
         mean = sum(scores) / max(len(scores), 1)
         return mean, scores
 
