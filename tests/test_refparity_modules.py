@@ -15,6 +15,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from refimport import randomize_bn_stats
 from refshim import load_reference
 
 from vlp3d.models.attention import (CrossAttentionDecoderLayer,
@@ -158,6 +159,55 @@ def test_voting_module(torch, rng):
     np.testing.assert_allclose(
         np.asarray(feat), r_feat.numpy().transpose(0, 2, 1),
         rtol=1e-4, atol=1e-5)
+
+
+def test_mlcv_voting_module(torch, rng):
+    """MLCVNet CGNL voting (models/mlcvnet/voting_module.py:17-70 +
+    CGNL.py:102-151): rank-1 grouped non-local block, grouped z conv,
+    GroupNorm residual, then the vote MLP."""
+    from models.mlcvnet.voting_module import VotingModule as RefMLCVVoting
+
+    from vlp3d.models.mlcvnet import MLCVVotingModule
+
+    B, S, C = 2, 1024, 256  # the reference hard-codes the 32x32 grid view
+    torch.manual_seed(7)
+    ref = RefMLCVVoting(1, C).eval()
+    randomize_bn_stats(torch, ref)
+    sd = ref.state_dict()
+
+    seed_xyz = rng.normal(0, 1, (B, S, 3)).astype(np.float32)
+    feats = rng.normal(0, 1, (B, S, C)).astype(np.float32)
+
+    groups, gc, ocg = 4, (C // 2) // 4, C // 4
+    zw = sd["sa1.z.weight"].numpy()[:, :, 0, 0]  # (C, planes/groups)
+    z_kernel = np.stack(
+        [zw[g * ocg:(g + 1) * ocg].T for g in range(groups)])  # (g, gc, ocg)
+    params = {
+        "cgnl": {
+            "t": {"kernel": jnp.asarray(sd["sa1.t.weight"].numpy()[:, :, 0, 0].T)},
+            "p": {"kernel": jnp.asarray(sd["sa1.p.weight"].numpy()[:, :, 0, 0].T)},
+            "g": {"kernel": jnp.asarray(sd["sa1.g.weight"].numpy()[:, :, 0, 0].T)},
+            "z_kernel": jnp.asarray(z_kernel),
+            "GroupNorm_0": _ln(sd, "sa1.gn"),
+        },
+    }
+    stats = {}
+    for i, (conv, bn) in enumerate((("conv1", "bn1"), ("conv2", "bn2"))):
+        params[f"Dense_{i}"] = _conv1d(sd, conv)
+        params[f"BatchNorm_{i}"], stats[f"BatchNorm_{i}"] = _bn(sd, bn)
+    params["Dense_2"] = _conv1d(sd, "conv3")
+
+    with torch.no_grad():
+        r_xyz, r_feat = ref(torch.from_numpy(seed_xyz),
+                            torch.from_numpy(feats.transpose(0, 2, 1).copy()))
+    xyz, feat = MLCVVotingModule(seed_feature_dim=C).apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(seed_xyz), jnp.asarray(feats), train=False)
+    np.testing.assert_allclose(np.asarray(xyz), r_xyz.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(feat), r_feat.numpy().transpose(0, 2, 1),
+        rtol=2e-4, atol=2e-4)
 
 
 def test_relation_module(torch, rng):
