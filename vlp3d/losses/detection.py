@@ -58,8 +58,13 @@ def compute_objectness_loss(
     aggregated_vote_xyz: jax.Array,  # (B, K, 3)
     objectness_scores: jax.Array,  # (B, K, 2)
     center_label: jax.Array,  # (B, K2, 3) zero-padded GT centers
+    far_threshold: float = FAR_THRESHOLD,
 ):
     """Proposal<->GT center matching + weighted CE (loss_detection.py:73-113).
+
+    far_threshold: the joint path has no gray zone (NEAR=FAR=0.3,
+    loss_detection.py:19-22); the ScanQA path keeps VoteNet's
+    FAR=0.6 gray zone (lib/vqa/loss_helper.py:18-19).
 
     Returns (loss, objectness_label (B,K) i32, objectness_mask (B,K) f32,
     object_assignment (B,K) i32).
@@ -68,7 +73,7 @@ def compute_objectness_loss(
     euclid = jnp.sqrt(dist1 + 1e-6)
     label = (euclid < NEAR_THRESHOLD).astype(jnp.int32)
     mask = (
-        (euclid < NEAR_THRESHOLD) | (euclid > FAR_THRESHOLD)
+        (euclid < NEAR_THRESHOLD) | (euclid > far_threshold)
     ).astype(jnp.float32)
 
     logp = jax.nn.log_softmax(objectness_scores, axis=-1)

@@ -117,10 +117,13 @@ def compute_vqa_loss(outputs, batch, mean_size_arr, *, num_heading_bin=1,
         outputs["seed_xyz"], outputs["vote_xyz"], outputs["seed_inds"],
         batch["vote_label"], batch["vote_label_mask"],
     )
+    # the ScanQA path keeps VoteNet's 0.3/0.6 gray zone
+    # (lib/vqa/loss_helper.py:18-19), unlike the joint path's NEAR=FAR=0.3
     obj_loss, obj_label, obj_mask, assignment = compute_objectness_loss(
         outputs["aggregated_vote_xyz"],
         outputs["objectness_scores"],
         batch["center_label"][..., :3],
+        far_threshold=0.6,
     )
     center, hcls, hreg, scls, sreg, sem = compute_vqa_box_loss(
         outputs, batch, obj_label, assignment, mean_size_arr,
