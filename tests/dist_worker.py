@@ -86,7 +86,7 @@ def main() -> None:
         "w2": rng.normal(size=(32, 3)).astype(np.float32) * 0.1,
     }
     optimizer = make_optimizer(
-        lr_schedule=lambda e: cosine_lr(e, 1.0, 200), steps_per_epoch=10
+        lr_schedule=lambda e, lr0: cosine_lr(e, lr0, 200), steps_per_epoch=10
     )
     opt_state = optimizer.init(params)
     params, opt_state = replicate_global(mesh, (params, opt_state))

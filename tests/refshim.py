@@ -245,6 +245,12 @@ def load_reference():
         pytest.skip("reference checkout not available")
     torch = pytest.importorskip("torch")
     if not _loaded:
+        # numpy >= 1.24 removed the np.bool alias the reference still
+        # uses (lib/joint/dataset.py:897)
+        import numpy as _np
+
+        if not hasattr(_np, "bool"):
+            _np.bool = bool
         sys.modules.setdefault("easydict", _easydict_module())
         sys.modules.setdefault("torch_scatter", _torch_scatter_module(torch))
         sys.modules.setdefault("numba", _numba_module())

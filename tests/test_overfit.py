@@ -33,7 +33,7 @@ def test_overfit_one_batch_reaches_proposal_ceiling():
     batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
 
     model = JointNet(config)
-    opt = make_optimizer(lr_schedule=lambda e: 1.0, steps_per_epoch=1000)
+    opt = make_optimizer(lr_schedule=lambda e, lr0: lr0, steps_per_epoch=1000)
     state = create_state(model, opt, batch)
     train_step = jax.jit(make_train_step(model, config, opt))
     eval_step = jax.jit(make_eval_step(model, config))
@@ -86,7 +86,7 @@ def test_overfit_caption_and_answer_heads():
         istrain=1,
     )
     model = JointNet(config)
-    opt = make_optimizer(lr_schedule=lambda e: 1.0, steps_per_epoch=1000)
+    opt = make_optimizer(lr_schedule=lambda e, lr0: lr0, steps_per_epoch=1000)
     state = create_state(model, opt, batch)
     train_step = jax.jit(
         make_train_step(model, config, opt, caption=True)

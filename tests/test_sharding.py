@@ -22,7 +22,7 @@ def test_data_parallel_train_step():
 
     model = JointNet(config)
     optimizer = make_optimizer(
-        lr_schedule=lambda e: cosine_lr(e, 1.0, 200), steps_per_epoch=10
+        lr_schedule=lambda e, lr0: cosine_lr(e, lr0, 200), steps_per_epoch=10
     )
     state = create_state(model, optimizer, batch)
     state = replicate(mesh, state)
@@ -108,7 +108,7 @@ def test_bn_stats_match_single_device():
 
     model = JointNet(config)
     optimizer = make_optimizer(
-        lr_schedule=lambda e: cosine_lr(e, 1.0, 200), steps_per_epoch=10
+        lr_schedule=lambda e, lr0: cosine_lr(e, lr0, 200), steps_per_epoch=10
     )
     train_step = jax.jit(make_train_step(model, config, optimizer))
     rng = jax.random.key(0)

@@ -57,7 +57,7 @@ def test_tp_matches_dp_loss():
     batch = make_batch(config, batch_size=4, num_points=256)
     model = JointNet(config)
     optimizer = make_optimizer(
-        lr_schedule=lambda e: cosine_lr(e, 1.0, 200), steps_per_epoch=10
+        lr_schedule=lambda e, lr0: cosine_lr(e, lr0, 200), steps_per_epoch=10
     )
     state = create_state(model, optimizer, batch)
     step = make_train_step(model, config, optimizer, caption=True)

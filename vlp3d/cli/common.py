@@ -203,6 +203,15 @@ def config_from_args(args) -> Config:
             lr=args.lr,
             weight_decay=args.wd,
             amsgrad=getattr(args, "amsgrad", False),
+            # train_3dvlp.py:180-196: --coslr -> cosine; detection-only
+            # without it -> MultiStepLR; else no scheduler. CLIs that
+            # never expose --coslr (e.g. standalone VQA, which the
+            # reference trains unscheduled) fall through to "none".
+            lr_schedule=(
+                "cosine" if getattr(args, "coslr", False)
+                else "step" if getattr(args, "no_caption", False)
+                else "none"
+            ),
             seed=args.seed,
             num_workers=getattr(args, "num_workers", 4),
         ),

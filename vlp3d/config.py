@@ -113,7 +113,12 @@ class TrainConfig:
     module_lr: float = 5e-4  # lang/relation/match/caption groups
     weight_decay: float = 1e-5
     amsgrad: bool = False  # AMSGrad AdamW variant (scripts/utils/AdamW.py)
+    # "cosine" | "step" | "none" (train_3dvlp.py:180-196: --coslr ->
+    # cosine; detection-only without --coslr -> MultiStepLR; else none)
+    lr_schedule: str = "cosine"
     coslr_eta_min: float = 1e-5
+    lr_decay_steps: tuple = (80, 120, 160)  # LR_DECAY_STEP (no_caption)
+    lr_decay_rate: float = 0.1
     bn_momentum_init: float = 0.5  # torch convention; halved every 20 epochs
     bn_decay_step: int = 20
     bn_momentum_min: float = 1e-3

@@ -13,11 +13,56 @@ optax step counter maps onto epochs.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
+import jax
+import jax.numpy as jnp
 import optax
 
 MODULE_LR_GROUPS = ("lang", "relation", "match", "caption")
+
+
+class _AmsgradState(NamedTuple):
+    count: jax.Array
+    mu: optax.Updates
+    nu: optax.Updates
+    nu_max: optax.Updates
+
+
+def scale_by_amsgrad_torch(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """AMSGrad with torch's formulation (scripts/utils/AdamW.py:100-110):
+    the running max is over the RAW second moment, bias-corrected at
+    read time — denom = sqrt(max_t nu_t)/sqrt(1-b2^t) + eps. optax's
+    scale_by_amsgrad instead maxes the bias-corrected nu_hat, which
+    weights early steps differently; tests/test_refparity_optimizer.py
+    pins the torch trajectory."""
+
+    def init_fn(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return _AmsgradState(jnp.zeros([], jnp.int32), z, z, z)
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(
+            lambda g, m: b1 * m + (1 - b1) * g, updates, state.mu
+        )
+        nu = jax.tree.map(
+            lambda g, v: b2 * v + (1 - b2) * g * g, updates, state.nu
+        )
+        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        count = state.count + 1
+        bc1 = 1 - b1**count.astype(jnp.float32)
+        bc2 = 1 - b2**count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v) / jnp.sqrt(bc2) + eps),
+            mu,
+            nu_max,
+        )
+        return out, _AmsgradState(count, mu, nu, nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def label_params(params) -> dict:
@@ -33,29 +78,33 @@ def make_optimizer(
     base_lr: float = 2e-3,
     module_lr: float = 5e-4,
     weight_decay: float = 1e-3,
-    lr_schedule: Callable[[int], float] | None = None,
+    lr_schedule: Callable[[int, float], float] | None = None,
     steps_per_epoch: int = 1,
     amsgrad: bool = False,
 ) -> optax.GradientTransformation:
-    """lr_schedule maps epoch -> multiplier of the base LR (1.0 at epoch 0);
-    both groups follow the same relative schedule, as torch's scheduler
-    scales every param group.
+    """lr_schedule maps (epoch, group_base_lr) -> absolute LR for that
+    group. torch LR schedulers run per param group on the group's own
+    base_lr (e.g. CosineAnnealingLR anneals EVERY group to the same
+    eta_min=1e-5, train_3dvlp.py:181-193) — a shared multiplier would
+    instead scale eta_min by module_lr/base_lr, so the per-group form is
+    the parity-correct one (pinned by tests/test_refparity_optimizer.py).
 
     amsgrad: the reference's vendored AdamW supports --amsgrad
-    (scripts/utils/AdamW.py max_exp_avg_sq branch); here scale_by_amsgrad
+    (scripts/utils/AdamW.py max_exp_avg_sq branch); here
+    scale_by_amsgrad_torch (raw-second-moment max, torch's formulation)
     replaces scale_by_adam in the same decoupled-decay chain.
     """
 
     def sched(lr0):
         if lr_schedule is None:
             return lr0
-        return lambda step: lr0 * lr_schedule(step // steps_per_epoch)
+        return lambda step: lr_schedule(step // steps_per_epoch, lr0)
 
     def adamw(lr0):
         if amsgrad:
             # mirror optax.adamw's chain with the AMSGrad second-moment rule
             return optax.chain(
-                optax.scale_by_amsgrad(b1=0.9, b2=0.999, eps=1e-8),
+                scale_by_amsgrad_torch(b1=0.9, b2=0.999, eps=1e-8),
                 optax.add_decayed_weights(weight_decay),
                 optax.scale_by_learning_rate(sched(lr0)),
             )

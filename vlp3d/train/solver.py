@@ -32,7 +32,7 @@ from vlp3d.models.jointnet import JointNet
 from vlp3d.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
 from vlp3d.train import checkpoint as ckpt
 from vlp3d.train.optimizer import make_optimizer
-from vlp3d.train.schedules import bn_momentum_torch, cosine_lr
+from vlp3d.train.schedules import bn_momentum_torch, cosine_lr, step_lr
 from vlp3d.train.state import TrainState, create_state, make_eval_step, make_train_step
 from vlp3d.utils.timers import PhaseTimers, eta_str
 
@@ -124,14 +124,29 @@ class Solver:
         steps_per_epoch = max(
             len(train_dataset) // config.train.batch_size, 1
         )
+        # schedule selection mirrors train_3dvlp.py:180-196: --coslr ->
+        # CosineAnnealingLR(T_max=min(epoch,200), eta_min=1e-5) applied
+        # per param group; detection-only without coslr -> MultiStepLR
+        # [80,120,160] x 0.1; otherwise the reference configures no
+        # scheduler (and, due to the solver indentation quirk, never
+        # trains — we train at constant LR instead).
         t_max = min(config.train.epochs, 200)
+        if config.train.lr_schedule == "cosine":
+            schedule = lambda e, lr0: cosine_lr(  # noqa: E731
+                e, lr0, t_max, config.train.coslr_eta_min
+            )
+        elif config.train.lr_schedule == "step":
+            schedule = lambda e, lr0: step_lr(  # noqa: E731
+                e, lr0, config.train.lr_decay_steps,
+                config.train.lr_decay_rate,
+            )
+        else:
+            schedule = None
         self.optimizer = make_optimizer(
             base_lr=config.train.lr,
             module_lr=config.train.module_lr,
             weight_decay=config.train.weight_decay,
-            lr_schedule=lambda e: cosine_lr(
-                e, 1.0, t_max, config.train.coslr_eta_min / config.train.lr
-            ),
+            lr_schedule=schedule,
             steps_per_epoch=steps_per_epoch,
             amsgrad=config.train.amsgrad,
         )
