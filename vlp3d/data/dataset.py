@@ -99,7 +99,12 @@ def unique_multiple_lookup(scanrefer, raw2label) -> dict:
         name = " ".join(data["object_name"].split("_"))
         sem = raw2label.get(name, 17)
         um = 0 if (sem_by_scene[sid] == sem).sum() == 1 else 1
-        lookup.setdefault(sid, {}).setdefault(str(oid), {})[ann] = um
+        # ann_id arrives as a str in ScanRefer json; normalize to int —
+        # get_item queries with the int ann_id_list values (a str key
+        # here made every lookup miss to the 0 default, flattening the
+        # unique/multiple eval breakdown; caught by
+        # tests/test_refparity_dataset.py)
+        lookup.setdefault(sid, {}).setdefault(str(oid), {})[int(ann)] = um
     return lookup
 
 
@@ -606,13 +611,16 @@ class ScanReferJointDataset:
             get_3d_box_batch(ref_sizes, np.zeros((l,)), ref_center_list)
         )
 
-        # all-GT corners (dataset.py:768-785)
+        # all-GT corners (dataset.py:768-785); padding rows are zero in
+        # the reference (corners computed for :num_bbox only) — keep that
+        # exact, consumers also gate by gt_box_masks
         gt_sizes = self.mean_size_arr[size_classes] + size_residuals
         gt_corners = np.asarray(
             get_3d_box_batch(
                 gt_sizes, np.zeros((MAX_NUM_OBJ,)), target_bboxes[:, 0:3]
             )
         )
+        gt_corners[num_bbox:] = 0.0
         gt_box_masks = np.zeros((MAX_NUM_OBJ,), np.int64)
         gt_box_masks[:num_bbox] = 1
         gt_box_object_ids = np.zeros((MAX_NUM_OBJ,), np.int64)
