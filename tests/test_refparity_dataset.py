@@ -184,12 +184,14 @@ def env(torch, tmp_path_factory):
 
     scene = make_scene_files(str(scannet_data), np.random.default_rng(11))
     scanrefer = make_scanrefer()
-    chunks = [scanrefer[:LANG_NUM_MAX], scanrefer[LANG_NUM_MAX:]]
 
-    def make_ref(**kw):
-        return refds.ScannetReferenceDataset(
+    def make_ref(chunk_cap=LANG_NUM_MAX, **kw):
+        ds = refds.ScannetReferenceDataset(
             scanrefer=scanrefer,
-            scanrefer_new=chunks,
+            scanrefer_new=[
+                scanrefer[i: i + chunk_cap]
+                for i in range(0, len(scanrefer), chunk_cap)
+            ],
             scanrefer_all_scene=[SCENE],
             split="train",
             name="ScanRefer",
@@ -199,6 +201,11 @@ def env(torch, tmp_path_factory):
             seed=SEED,
             **kw,
         )
+        # populate scanrefer_dict (the prompt-augmentation pool); the
+        # reference train script routes scanrefer through
+        # split_scene_new, which fills it as a side effect
+        ds.split_scene_new(scanrefer)
+        return ds
 
     def make_ours(**kw):
         return ScanReferJointDataset(
@@ -306,6 +313,52 @@ def test_item_parity(env, monkeypatch, fused, augment):
         compare_items(ref_item, our_item,
                       label=f"idx{idx}/aug{int(augment)}",
                       float_atol=2e-5 if augment else None)
+
+
+def test_item_parity_minor_aug(env):
+    """minor_aug slot duplication (dataset.py:561-589): a sentence about
+    a minor-class object ('counter', chunk 2 slot 0) is repeated into the
+    following slot, shifting the later annotations. Draws no extra rng,
+    so the comparison is value-exact."""
+    refds, make_ref, make_ours = env
+    ref_ds = make_ref(minor_aug=True)
+    our_ds = make_ours(minor_aug=True)
+    for idx in range(2):
+        ref_ds.rng = np.random.default_rng(item_key(idx))
+        ref_item = ref_ds[idx]
+        compare_items(ref_item, our_ds[idx], label=f"minor/idx{idx}")
+    # chunk 2 is [counter, table, chair]: the repeat must have happened
+    oids = np.asarray(ref_item["object_id_list"])
+    assert oids[0] == oids[1] == 4  # counter object repeated
+
+
+def test_item_parity_prompt_aug(env):
+    """lang_num_aug=1 prompt augmentation: the aug slot's target/anchor
+    selection draws from the dataset rng (shared seam, dataset.py:694-699)
+    but the prompt TEXT draws from global random/np.random in the
+    reference (lib/prompt/prompt.py:33-48) — so every key except the aug
+    slot's tokenization compares exactly, and that slot's ids/cats (which
+    depend only on the shared choice) must still match, including the
+    'first annotation' ann_id quirk (dataset.py:718-719)."""
+    refds, make_ref, make_ours = env
+    cap = LANG_NUM_MAX - 1
+    ref_ds = make_ref(chunk_cap=cap, lang_num_aug=1, augment=True)
+    our_ds = make_ours(lang_num_aug=1, augment=True)
+    assert len(ref_ds) == len(our_ds) == 3
+    for idx in range(3):
+        ref_ds.rng = np.random.default_rng(item_key(idx))
+        ref_item = ref_ds[idx]
+        our_item = dict(our_ds[idx])
+        # mask out the aug slot's tokenization before the full compare
+        for k in ("input_ids", "bert_attention_mask"):
+            r = np.array(np.asarray(ref_item[k]))
+            o = np.array(our_item[k])
+            np.testing.assert_array_equal(
+                o[:cap], r[:cap], err_msg=f"promptaug/idx{idx}:{k}"
+            )
+            our_item[k] = np.asarray(ref_item[k])
+        compare_items(ref_item, our_item, label=f"promptaug/idx{idx}",
+                      float_atol=2e-5)
 
 
 def test_raw2label_and_class_maps_match(env):

@@ -582,7 +582,18 @@ class ScanReferJointDataset:
                 )
                 object_id_list.append(target_id)
                 object_name_list.append(t_name)
-                ann_id_list.append(int(anns[ri[0]]["ann_id"]))
+                # "augmented annotation always set to the first
+                # annotation" (dataset.py:718-719): the reference takes
+                # the first ann key of the target object, NOT the
+                # sampled annotation's own ann_id
+                first_ann = next(
+                    iter(
+                        self.unique_multiple.get(scene_id, {}).get(
+                            str(target_id), {int(anns[ri[0]]["ann_id"]): 0}
+                        )
+                    )
+                )
+                ann_id_list.append(int(first_ann))
                 text_list.append(text)
             else:  # degenerate scene: repeat the real annotation
                 object_id_list.append(object_id_list[-1])
