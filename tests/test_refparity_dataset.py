@@ -76,7 +76,7 @@ def write_bert_vocab(path):
         f.write("\n".join(words) + "\n")
 
 
-def make_scene_files(root, rng):
+def make_scene_files(root, rng, include_id0=True):
     """One scene in the reference's preprocessed on-disk layout.
 
     5 objects with nyu40 sem ids from DC.nyu40ids plus one id-0 filler
@@ -107,7 +107,12 @@ def make_scene_files(root, rng):
         bboxes[i, 3:6] = s
         bboxes[i, 6] = nyu_ids[i]
         bboxes[i, 7] = i + 1  # object id
-    bboxes[n_obj] = [2.0, 2.0, 1.0, 0.5, 0.5, 0.5, 0.0, 99.0]  # id-0 quirk
+    if include_id0:
+        bboxes[n_obj] = [2.0, 2.0, 1.0, 0.5, 0.5, 0.5, 0.0, 99.0]  # id-0
+    else:
+        # the VQA reference has no nyu40id2class[0] injection
+        # (lib/vqa/dataset.py:378 would KeyError); drop the filler box
+        bboxes = bboxes[:n_obj]
     color = rng.uniform(0, 1, (n, 3)).astype(np.float32)
 
     np.save(os.path.join(root, SCENE + "_aligned_vert.npy"),
@@ -115,8 +120,9 @@ def make_scene_files(root, rng):
     np.save(os.path.join(root, SCENE + "_ins_label.npy"), ins)
     np.save(os.path.join(root, SCENE + "_sem_label.npy"), sem)
     np.save(os.path.join(root, SCENE + "_aligned_bbox.npy"), bboxes)
-    np.save(os.path.join(root, SCENE + "_preprocess_train.npy"), pts)
-    np.save(os.path.join(root, SCENE + "_pcl_color_train.npy"), color)
+    for split in ("train", "val"):
+        np.save(os.path.join(root, SCENE + f"_preprocess_{split}.npy"), pts)
+        np.save(os.path.join(root, SCENE + f"_pcl_color_{split}.npy"), color)
     return {
         "point_cloud": pts,
         "instance_labels": ins,
@@ -185,7 +191,7 @@ def env(torch, tmp_path_factory):
     scene = make_scene_files(str(scannet_data), np.random.default_rng(11))
     scanrefer = make_scanrefer()
 
-    def make_ref(chunk_cap=LANG_NUM_MAX, **kw):
+    def make_ref(chunk_cap=LANG_NUM_MAX, split="train", **kw):
         ds = refds.ScannetReferenceDataset(
             scanrefer=scanrefer,
             scanrefer_new=[
@@ -193,7 +199,7 @@ def env(torch, tmp_path_factory):
                 for i in range(0, len(scanrefer), chunk_cap)
             ],
             scanrefer_all_scene=[SCENE],
-            split="train",
+            split=split,
             name="ScanRefer",
             num_points=NUM_POINTS,
             lang_num_max=LANG_NUM_MAX,
@@ -207,12 +213,12 @@ def env(torch, tmp_path_factory):
         ds.split_scene_new(scanrefer)
         return ds
 
-    def make_ours(**kw):
+    def make_ours(split="train", **kw):
         return ScanReferJointDataset(
             scanrefer,
             InMemorySceneSource({SCENE: scene}),
             BertWordPieceTokenizer(str(bert_dir / "vocab.txt")),
-            split="train",
+            split=split,
             num_points=NUM_POINTS,
             lang_num_max=LANG_NUM_MAX,
             use_height=True,
@@ -293,16 +299,18 @@ def compare_items(ref_item, our_item, *, label, float_atol=None):
 
 
 @pytest.mark.parametrize("fused", [True, False], ids=["fused", "numpy"])
-@pytest.mark.parametrize("augment", [False, True], ids=["plain", "augment"])
-def test_item_parity(env, monkeypatch, fused, augment):
+@pytest.mark.parametrize("augment,split", [
+    (False, "train"), (True, "train"), (False, "val"),
+], ids=["plain", "augment", "val"])
+def test_item_parity(env, monkeypatch, fused, augment, split):
     refds, make_ref, make_ours = env
     if fused and not native.native_available():
         pytest.skip("native loader unavailable")
     if not fused:
         monkeypatch.setattr(native, "native_available", lambda: False)
 
-    ref_ds = make_ref(augment=augment)
-    our_ds = make_ours(augment=augment)
+    ref_ds = make_ref(augment=augment, split=split)
+    our_ds = make_ours(augment=augment, split=split)
     assert len(ref_ds) == len(our_ds) == 2
 
     for idx in range(2):

@@ -32,10 +32,12 @@ def build_answer_vocab(
 
     Returns (vocab: answer -> index, counter: answer -> train frequency).
     """
-    counts = Counter()
-    for q in qa_annotations:
-        for a in q.get("answers", []):
-            counts[a] += 1
+    # Counter over the SORTED answer list (train.py:113-114): ties in
+    # most_common() then break alphabetically, which decides what the
+    # answer_max_size cutoff keeps
+    counts = Counter(
+        sorted(a for q in qa_annotations for a in q.get("answers", []))
+    )
     items = counts.most_common()
     if max_size >= 0:
         items = items[:max_size]
@@ -51,10 +53,15 @@ class ScanQADataset(ScanReferJointDataset):
 
     def __init__(self, qa_annotations, scene_source, tokenizer, *,
                  answer_vocab: dict | None = None, num_answers: int | None = None,
+                 use_unanswerable: bool = False,
                  **kwargs):
         """Pass glove=<dict> (see ScanReferJointDataset) to also carry the
         GloVe-era LSTM language fields the standalone ScanQA model
-        consumes (lib/vqa/dataset.py's lang path)."""
+        consumes (lib/vqa/dataset.py's lang path).
+
+        use_unanswerable: keep questions with no answer in the vocabulary
+        (lib/vqa/dataset.py:102-124 drops them from train AND val by
+        default, which sets the EM metric denominators)."""
         anns = []
         for q in qa_annotations:
             object_ids = q.get("object_ids") or [0]
@@ -80,6 +87,11 @@ class ScanQADataset(ScanReferJointDataset):
         self.answer_vocab = answer_vocab
         self.answer_counter = answer_counter
         self.num_answers = num_answers or max(len(self.answer_vocab), 1)
+        self.all_data_size = len(anns)
+        if kwargs.get("split", "train") != "test" and not use_unanswerable:
+            cands = set(self.answer_vocab)
+            anns = [a for a in anns if set(a["answers"]) & cands]
+        self.answerable_data_size = len(anns)
         super().__init__(anns, scene_source, tokenizer, **kwargs)
 
     def get_item(self, idx, out=None):
