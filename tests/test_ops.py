@@ -98,6 +98,47 @@ class TestGrouping:
             want[0, int(j)] += 1.0
         np.testing.assert_allclose(g, want)
 
+    def test_group_vjp_matches_native_autodiff(self, rng):
+        """The sorted-scatter custom VJP vs XLA's own gather backward on
+        realistic shapes with a RANDOM cotangent: a uniform cotangent
+        (the sum-based test above) cannot catch value-routing errors in
+        the argsort/segment-sum rewrite — duplicate indices with distinct
+        cotangent values can."""
+        pts = jnp.asarray(rng.normal(size=(2, 300, 7)).astype(np.float32))
+        idx = jnp.asarray(
+            rng.integers(0, 300, size=(2, 64, 16)).astype(np.int32)
+        )
+        ct = jnp.asarray(rng.normal(size=(2, 64, 16, 7)).astype(np.float32))
+
+        _, vjp = jax.vjp(lambda p: ops.group_points(p, idx), pts)
+        got = np.asarray(vjp(ct)[0])
+
+        def native(p):
+            return jax.vmap(lambda pb, ib: pb[ib])(p, idx)
+
+        _, nvjp = jax.vjp(native, pts)
+        want = np.asarray(nvjp(ct)[0])
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+    def test_gather_vjp_matches_native_autodiff(self, rng):
+        """gather_points' custom VJP (sampling_gpu.cu:39-52 semantics)
+        had forward-only coverage; pin its backward the same way."""
+        pts = jnp.asarray(rng.normal(size=(2, 200, 6)).astype(np.float32))
+        idx = jnp.asarray(
+            rng.integers(0, 200, size=(2, 80)).astype(np.int32)
+        )
+        ct = jnp.asarray(rng.normal(size=(2, 80, 6)).astype(np.float32))
+
+        _, vjp = jax.vjp(lambda p: ops.gather_points(p, idx), pts)
+        got = np.asarray(vjp(ct)[0])
+
+        def native(p):
+            return jnp.take_along_axis(p, idx[:, :, None], axis=1)
+
+        _, nvjp = jax.vjp(native, pts)
+        want = np.asarray(nvjp(ct)[0])
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
 
 class TestThreeNN:
     def test_matches_oracle(self, rng):
