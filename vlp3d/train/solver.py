@@ -14,6 +14,16 @@ Port of `lib/joint/solver_3dvlp.py` (Solver.__call__/_feed, :273-1245):
     full train-state checkpoint every 10 epochs (solver:353-354, 1221-1245);
   * phase timers (fetch/forward/iter) + JSONL metric log (stands in for
     the tensorboardX/wandb writers, solver:218-228, 485-565).
+
+One deliberate non-port: the reference switches its val feed to a
+lang_num_max=1 "ground" loader at epoch 150 (solver_3dvlp.py:304-307).
+Both of its loaders carry the same val sentences and eval_ground.py:184
+already gates on j < lang_num, so the switch changes nothing about WHAT
+is measured — it routes around the reference's own eval-val chunking bug
+(train_3dvlp.py:332-334 appends a scene's chunk list into itself instead
+of into the output). Our chunked val loader + lang_num-masked eval
+computes the same per-sentence aggregate every epoch, so no switch
+exists here.
 """
 
 from __future__ import annotations
