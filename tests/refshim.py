@@ -232,6 +232,80 @@ def _pytorch3d_module(torch):
     sys.modules["pytorch3d.ops.iou_box3d"] = mod
 
 
+_PLY_SCALARS = {
+    "float": ("f", 4, "<f4"), "float32": ("f", 4, "<f4"),
+    "double": ("d", 8, "<f8"), "float64": ("d", 8, "<f8"),
+    "uchar": ("B", 1, "u1"), "uint8": ("B", 1, "u1"),
+    "char": ("b", 1, "i1"), "int8": ("b", 1, "i1"),
+    "short": ("h", 2, "<i2"), "int16": ("h", 2, "<i2"),
+    "ushort": ("H", 2, "<u2"), "uint16": ("H", 2, "<u2"),
+    "int": ("i", 4, "<i4"), "int32": ("i", 4, "<i4"),
+    "uint": ("I", 4, "<u4"), "uint32": ("I", 4, "<u4"),
+}
+
+
+class _MiniPlyElement:
+    def __init__(self, count, data):
+        self.count = count
+        self.data = data
+
+
+class _MiniPlyData:
+    """binary_little_endian PLY reader covering what the reference's
+    scannet_utils readers use (scalar vertex properties + one list-typed
+    face property)."""
+
+    def __init__(self, elements):
+        self._elements = elements
+
+    def __getitem__(self, name):
+        return self._elements[name]
+
+    @staticmethod
+    def read(f):
+        import struct
+
+        import numpy as np
+
+        elements = []  # (name, count, props) with props per header order
+        fmt = None
+        while True:
+            line = f.readline().decode("ascii").strip()
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element"):
+                _, name, cnt = line.split()
+                elements.append((name, int(cnt), []))
+            elif line.startswith("property"):
+                elements[-1][2].append(line.split()[1:])
+            elif line == "end_header":
+                break
+        assert fmt == "binary_little_endian", fmt
+
+        out = {}
+        for name, count, props in elements:
+            if any(p[0] == "list" for p in props):
+                assert len(props) == 1, "one list property per element"
+                _, cnt_t, idx_t, _pname = props[0]
+                csz, isz = _PLY_SCALARS[cnt_t][1], _PLY_SCALARS[idx_t][1]
+                cfmt, ifmt = _PLY_SCALARS[cnt_t][0], _PLY_SCALARS[idx_t][0]
+                rows = np.empty(count, dtype=object)
+                for i in range(count):
+                    (k,) = struct.unpack("<" + cfmt, f.read(csz))
+                    idx = struct.unpack("<" + ifmt * k, f.read(isz * k))
+                    rows[i] = (np.asarray(idx, np.int64),)
+                out[name] = _MiniPlyElement(count, rows)
+            else:
+                dtype = np.dtype(
+                    [(p[1], _PLY_SCALARS[p[0]][2]) for p in props]
+                )
+                raw = f.read(dtype.itemsize * count)
+                out[name] = _MiniPlyElement(
+                    count, np.frombuffer(raw, dtype=dtype, count=count)
+                )
+        return _MiniPlyData(out)
+
+
 _loaded = False
 
 
@@ -257,11 +331,14 @@ def load_reference():
         # trimesh is only touched inside pc_utils helpers our parity
         # tests never call; an empty module satisfies the import
         sys.modules.setdefault("trimesh", types.ModuleType("trimesh"))
-        # plyfile is only touched inside pc_utils PLY io helpers our
-        # parity tests never call (pc_utils.py:15-20 hard-exits when the
-        # import fails, so the stub must pre-exist)
+        # plyfile: functional minimal stand-in (pc_utils.py:15-20
+        # hard-exits when the import fails, so it must pre-exist; the
+        # ScanNet export oracle actually READS meshes through it —
+        # scannet_utils.py:97-117 needs ['vertex'].data field access +
+        # row unpacking and ['face'].data rows whose [0] is the index
+        # list)
         ply = types.ModuleType("plyfile")
-        ply.PlyData = type("PlyData", (), {})
+        ply.PlyData = _MiniPlyData
         ply.PlyElement = type("PlyElement", (), {})
         sys.modules.setdefault("plyfile", ply)
         if "pytorch3d" not in sys.modules:

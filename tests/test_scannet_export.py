@@ -76,7 +76,10 @@ def test_export_and_preprocess(tmp_path):
     ins = np.load(out / f"{scan}_ins_label.npy")
     bboxes = np.load(out / f"{scan}_aligned_bbox.npy")
 
-    assert mesh.shape == (300, 6)
+    # 9 cols: xyz + rgb + face normals (zeros here: the fixture PLY has
+    # no face element)
+    assert mesh.shape == (300, 9)
+    np.testing.assert_array_equal(mesh[:, 6:9], 0.0)
     np.testing.assert_allclose(aligned[:, 0], mesh[:, 0] + 1.0, atol=1e-5)
     assert (sem[:100] == 5).all() and (sem[100:200] == 7).all()
     assert (ins[:100] == 1).all() and (ins[200:] == 0).all()

@@ -3,8 +3,11 @@
 Port of `data/scannet/{batch_load_scannet_data,load_scannet_data,
 scannet_utils}.py`: per scan, read the `_vh_clean_2.ply` mesh + aggregation
 / segment jsons + axis-align matrix, produce
-  {scene}_vert.npy            (N, 6) xyz + rgb
-  {scene}_aligned_vert.npy    (N, 6) axis-aligned xyz + rgb
+  {scene}_vert.npy            (N, 9) xyz + rgb + face normals
+  {scene}_aligned_vert.npy    (N, 9) axis-aligned xyz + rgb + normals
+                              (normals computed pre-alignment, as the
+                              reference does: aligned_vertices copies
+                              cols 3:9, load_scannet_data.py:66-71)
   {scene}_sem_label.npy       (N,) nyu40 ids
   {scene}_ins_label.npy       (N,) instance ids (1-based, 0 = none)
   {scene}_bbox.npy            (K, 8) cx cy cz dx dy dz nyu40_id obj_id
@@ -219,8 +222,22 @@ def export_scan(
     meta_file: str,
     label_map: dict,
 ) -> dict:
-    """One scan -> vertex arrays + instance boxes (load_scannet_data.export)."""
+    """One scan -> vertex arrays + instance boxes (load_scannet_data.export).
+
+    Vertices are (N, 9) xyz + rgb + face-accumulated normals, matching
+    scannet_utils.read_mesh_vertices_rgb_normal (load_scannet_data.py:57)
+    — the canonical --use_normal training run consumes cols 6:9."""
     mesh_vertices = read_mesh_vertices_rgb(mesh_file)
+    faces = read_ply_faces(mesh_file)
+    # f32 end-to-end: the reference's normal path is float32 (np.array
+    # over float32 scalars infers float32, scannet_utils.py:113)
+    mesh_vertices = np.concatenate(
+        [
+            mesh_vertices,
+            compute_vertex_normals(mesh_vertices[:, :3], faces),
+        ],
+        axis=1,
+    )
 
     axis_align = read_axis_align_matrix(meta_file)
     pts = np.ones((mesh_vertices.shape[0], 4))
@@ -353,7 +370,14 @@ def build_preprocess(
         with h5py.File(multiview_path, "r") as f:
             feats.append(np.asarray(f[scene_id]))
     if use_normal:
-        feats.append(estimate_normals(xyz))
+        if vert.shape[1] >= 9:
+            # exporter-stored face normals (scannet_utils.py:97-117);
+            # the reference's preprocess reads these cols directly
+            # (scripts/preprocess/point_cloud.py:41-43)
+            feats.append(vert[:, 6:9])
+        else:
+            # legacy 6-col exports: fall back to kNN-PCA estimation
+            feats.append(estimate_normals(xyz))
     out = np.concatenate(feats, axis=1).astype(np.float32)
     np.save(
         os.path.join(output_dir, f"{scene_id}_preprocess_{split}.npy"), out
@@ -363,6 +387,34 @@ def build_preprocess(
         vert[:, 3:6].astype(np.float32),
     )
     return out
+
+
+def compute_vertex_normals(xyz: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Per-vertex normals from face normals (scannet_utils.py:18-45).
+
+    Semantics notes, both preserved deliberately:
+      * normalization divides by (len + 1e-8) with no zero guard;
+      * accumulation uses buffered fancy indexing (`out[idx] += n` with
+        duplicate idx keeps only the LAST contribution per statement,
+        NOT a sum — np.add.at would differ). Each corner column
+        contributes at most one face normal per vertex.
+    """
+    out = np.zeros(xyz.shape, dtype=xyz.dtype)
+    if len(faces) == 0:
+        return out
+    tris = xyz[faces]
+    fn = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+
+    def _unit(a):
+        lens = np.sqrt(a[:, 0] ** 2 + a[:, 1] ** 2 + a[:, 2] ** 2)
+        for c in range(3):
+            a[:, c] /= lens + 1e-8
+        return a
+
+    fn = _unit(fn)
+    for c in range(3):
+        out[faces[:, c]] += fn  # buffered: last duplicate wins
+    return _unit(out)
 
 
 def estimate_normals(xyz: np.ndarray, k: int = 10) -> np.ndarray:
