@@ -42,17 +42,27 @@ def organize_scanrefer(scanrefer: list) -> dict:
 
 def decode_caption(tokenizer, ids) -> str:
     """'[CLS] tokens... [SEP]' framing with '.' split out
-    (eval_helper.py:47-55)."""
-    words = []
-    for i in np.asarray(ids).tolist():
-        i = int(i)
-        if i == tokenizer.cls_token_id or i == tokenizer.pad_token_id:
-            continue
-        if i == tokenizer.sep_token_id:
-            break
-        words.append(tokenizer.decode([i]) or "[UNK]")
-    text = " ".join(words).replace(".", " .")
-    return ("[CLS] " + text + " [SEP]").replace("  ", " ")
+    (eval_helper.py:47-55).
+
+    The whole sequence goes through tokenizer.decode so wordpieces merge
+    ('wood ##en' -> 'wooden') exactly like the reference's HF decode —
+    a per-token decode loop leaked raw '##'-prefixed pieces into the
+    candidate strings and broke metric parity
+    (tests/test_refparity_caption_eval.py). HF's tokenization cleanup is
+    replicated too: it glues , ? ! and contractions onto the previous
+    word, so the reference's candidate strings contain tokens like
+    'corner,' (while its corpus keeps 'corner ,') — a reference quirk the
+    scorers see, preserved deliberately; only '.' is split back out
+    (eval_helper.py:49)."""
+    text = tokenizer.decode(np.asarray(ids).reshape(-1).tolist())
+    for a, b in (
+        (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
+        (" ' ", "'"), (" n't", "n't"), (" 'm", "'m"), (" 's", "'s"),
+        (" 've", "'ve"), (" 're", "'re"),
+    ):
+        text = text.replace(a, b)
+    text = text.replace(".", " .")
+    return " ".join(("[CLS] " + text + " [SEP]").split())
 
 
 def collect_caption_candidates(
