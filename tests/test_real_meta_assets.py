@@ -121,6 +121,8 @@ def test_unique_multiple_with_real_taxonomy():
          "object_name": "table"},
     ]
     lookup = unique_multiple_lookup(scanrefer, raw2label)
-    assert lookup["s1"]["0"]["0"] == 1  # chair: multiple
-    assert lookup["s1"]["1"]["0"] == 1
-    assert lookup["s1"]["2"]["0"] == 0  # table: unique
+    # ann keys are ints (normalized to match get_item's int ann_id_list
+    # reads; see tests/test_refparity_dataset.py)
+    assert lookup["s1"]["0"][0] == 1  # chair: multiple
+    assert lookup["s1"]["1"][0] == 1
+    assert lookup["s1"]["2"][0] == 0  # table: unique

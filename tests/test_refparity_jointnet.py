@@ -46,14 +46,25 @@ def torch():
 
 @pytest.fixture(scope="module")
 def ref_jointnet(torch, tmp_path_factory):
+    ref, dc = build_ref_jointnet(
+        torch, tmp_path_factory.mktemp("bertcfg"),
+        input_feature_dim=132, num_proposal=K, use_answer=True,
+        num_answers=N_ANSWERS,
+    )
+    return ref, dc
+
+
+def build_ref_jointnet(torch, tmp, *, input_feature_dim, num_proposal,
+                       use_answer=False, num_answers=1, seed=31):
+    """Construct the reference JointNet on CPU with the offline-patched
+    BERT machinery; reusable by the end-to-end loss capstone
+    (tests/test_refparity_e2e.py)."""
     from lib.configs.config import CONF
 
     CONF.PATH.SCANNET = "/root/reference/data/scannet"
     from data.scannet.model_util_scannet import ScannetDatasetConfig
 
     dc = ScannetDatasetConfig()
-
-    tmp = tmp_path_factory.mktemp("bertcfg")
     bert_cfg = {
         "architectures": ["BertForMaskedLM"],
         "attention_probs_dropout_prob": 0.1,
@@ -90,14 +101,15 @@ def ref_jointnet(torch, tmp_path_factory):
     try:
         from models.jointnet.jointnet import JointNet as RefJointNet
 
-        torch.manual_seed(31)
+        torch.manual_seed(seed)
         ref = RefJointNet(
             num_class=18, num_heading_bin=1, num_size_cluster=18,
             mean_size_arr=dc.mean_size_arr, vocabulary=None,
-            input_feature_dim=132, num_proposal=K, no_caption=True,
+            input_feature_dim=input_feature_dim,
+            num_proposal=num_proposal, no_caption=True,
             use_lang_classifier=True, dataset_config=dc, use_con=True,
             use_lang_emb=True, use_reg_head=True, use_kl_loss=True,
-            use_answer=True, num_answers=N_ANSWERS,
+            use_answer=use_answer, num_answers=num_answers,
             use_vote_weight=True).eval()
     finally:
         xbert.BertForMaskedLM.from_pretrained = orig
@@ -241,12 +253,13 @@ def _import_jointnet(sd):
         "tau": jnp.asarray(sd["constrast.nce_loss.tau"].numpy()),
     }
 
-    # answer head
-    params["answer"] = {
-        "attflat_visual": _attflat(sd, "answer.attflat_visual"),
-        "Dense_0": lin(sd, "answer.answer_cls.0"),
-        "Dense_1": lin(sd, "answer.answer_cls.3"),
-    }
+    # answer head (only when the reference was built with use_answer)
+    if "answer.answer_cls.0.weight" in sd:
+        params["answer"] = {
+            "attflat_visual": _attflat(sd, "answer.attflat_visual"),
+            "Dense_0": lin(sd, "answer.answer_cls.0"),
+            "Dense_1": lin(sd, "answer.answer_cls.3"),
+        }
     return params, stats
 
 
