@@ -601,7 +601,14 @@ class ScanReferJointDataset:
                 ann_id_list.append(ann_id_list[-1])
                 text_list.append(text_list[-1])
 
-        # per-sentence ref labels (dataset.py:728-765)
+        # per-sentence ref labels (dataset.py:728-765). Deliberate
+        # non-port: when a sentence's object_id matches NO gt box, the
+        # reference appends nothing for that slot, shifting every later
+        # sentence's labels left and padding the tail with stale values
+        # (dataset.py:755-763) — a label/sentence misalignment. We keep
+        # slot alignment (unmatched slots stay zero). Equivalent on the
+        # filtered ScanRefer jsons, where every annotated object carries
+        # an exported gt box.
         l = self.lang_num_max
         ref_box_label_list = np.zeros((l, MAX_NUM_OBJ), np.int64)
         ref_center_list = np.zeros((l, 3), np.float32)
