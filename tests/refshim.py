@@ -118,10 +118,12 @@ def _pointnet2_ext_module(torch):
         return out
 
     def gather_points(features, idx):
-        # (B, C, N), (B, np) -> (B, C, np)
+        # (B, C, N), (B, np) -> (B, C, np); clone for the same
+        # view+inplace reason as group_points
         return torch.gather(
             features, 2,
-            idx.long()[:, None, :].expand(-1, features.shape[1], -1))
+            idx.long()[:, None, :].expand(-1, features.shape[1], -1),
+        ).clone()
 
     def gather_points_grad(grad_out, idx, n):
         b, c, np_ = grad_out.shape
@@ -154,7 +156,10 @@ def _pointnet2_ext_module(torch):
         flat = torch.gather(
             features, 2,
             idx.long().reshape(b, 1, np_ * ns).expand(-1, c, -1))
-        return flat.reshape(b, c, np_, ns)
+        # clone: the caller's custom Function would otherwise return a
+        # reshape-view, and the reference mutates it in place
+        # (pointnet2_utils.py:346) — forbidden under grad mode
+        return flat.reshape(b, c, np_, ns).clone()
 
     def group_points_grad(grad_out, idx, n):
         b, c, np_, ns = grad_out.shape
