@@ -220,6 +220,10 @@ def main(argv=None):
                 ckpt.save_params(workdir, "ground_model", params,
                                  batch_stats)
     ckpt.save_params(workdir, "model_last", params, batch_stats)
+    # join the async orbax commit before returning: callers
+    # (and the reference's torch.save contract) expect the
+    # snapshot on disk when training exits
+    ckpt.wait_until_finished()
     with open(os.path.join(workdir, "best.json"), "w") as f:
         json.dump(best, f)
     print("best:", best)
