@@ -339,3 +339,70 @@ def test_match_module(torch, rng):
     np.testing.assert_allclose(np.asarray(out["pred_size_reg"]),
                                td["pred_size_reg"].numpy(),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_match_copy_paste_augmentation(torch, rng):
+    """The istrain=1 copy-paste branch (match_module.py:96-121): the
+    reference gates it on the DATA flag, not module.training, so eval
+    mode + istrain=1 + a seeded sub-0.5 gate runs the deterministic
+    paste under eval BN/dropout. Our fixed-shape rewrite
+    (match.copy_paste_features) must place the same batch-pooled object
+    features in the same slots — compared through the full module output
+    by feeding the pasted features into the eval-mode forward."""
+    import random as pyrandom
+
+    from models.refnet.match_module import MatchModule as RefMatch
+
+    from vlp3d.models.match import copy_paste_features
+
+    B, K, L, T, H = 3, 12, 2, 8, 128
+    ref = RefMatch(num_proposals=K, hidden_size=H, det_channel=H, head=4,
+                   use_lang_emb=False, depth=2, use_reg_head=False).eval()
+    sd = ref.state_dict()
+
+    bbox_feature = rng.normal(0, 1, (B, K, H)).astype(np.float32)
+    lang_fea = rng.normal(0, 1, (B * L, T, H)).astype(np.float32)
+    lang_emb = rng.normal(0, 1, (B * L, H)).astype(np.float32)
+    input_ids = np.zeros((B, L, T), np.int64)
+    # objectness: scene 0 mixed, scene 1 nearly all objects, scene 2
+    # NO objects (the obj_len-edge branches of the reference loop)
+    obj = np.zeros((B, K), np.int64)
+    obj[0, [1, 4, 5, 9]] = 1
+    obj[1, :-1] = 1
+    obj_scores = np.stack([1.0 - obj, obj], axis=-1).astype(np.float32) * 3
+
+    params, stats = {}, {}
+    for i, idx in enumerate((0, 3, 6)):
+        params[f"Dense_{i}"] = _lin(sd, f"match.{idx}")
+    for i in range(2):
+        params[f"grounding_cross_attn_{i}"] = _cadl(
+            sd, f"grounding_cross_attn.{i}")
+
+    td = {"objectness_scores": torch.from_numpy(obj_scores),
+          "bbox_feature": torch.from_numpy(bbox_feature),
+          "input_ids": torch.from_numpy(input_ids),
+          "lang_fea": torch.from_numpy(lang_fea),
+          "lang_emb": torch.from_numpy(lang_emb),
+          "istrain": torch.tensor([1])}
+    # first draw after seed(1) is 0.134... < 0.5 -> gate ON
+    pyrandom.seed(1)
+    with torch.no_grad():
+        td = ref(td)
+    assert td["random"] < 0.5
+
+    pasted = copy_paste_features(
+        jnp.asarray(bbox_feature), jnp.asarray(obj.astype(bool))
+    )
+    # the paste must actually change the non-object slots of scenes 0/2
+    assert not np.allclose(np.asarray(pasted), bbox_feature)
+    out = MatchModule(num_proposals=K, hidden_size=H).apply(
+        {"params": params, "batch_stats": stats},
+        pasted, jnp.asarray(lang_fea), jnp.asarray(lang_emb),
+        jnp.asarray(obj.astype(np.float32)),
+        lang_num_max=L, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["cross_box_feature"]),
+        td["cross_box_feature"].numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["cluster_ref"]), td["cluster_ref"].numpy(),
+        rtol=2e-4, atol=2e-4)
