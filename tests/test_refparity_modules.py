@@ -406,3 +406,72 @@ def test_match_copy_paste_augmentation(torch, rng):
     np.testing.assert_allclose(
         np.asarray(out["cluster_ref"]), td["cluster_ref"].numpy(),
         rtol=2e-4, atol=2e-4)
+
+
+def test_relation_reference_obj_gather(torch, rng):
+    """reference_obj_gather=True replicates the scrambled obj-feature
+    read BIT-FOR-BIT on nonzero multiview channels: permute+reshape rows
+    (128 consecutive N-positions of one channel) indexed with the
+    C-stride batch offset (relation_module.py:101-117). The default
+    clean gather is intentionally different; this flag exists for exact
+    reproduction of the published training setup."""
+    from models.proposal_module.relation_module import (
+        RelationModule as RefRelation)
+    from utils.box_util import get_3d_box_batch
+
+    B, K, S, N = 2, 16, 32, 256
+    ref = RefRelation(num_proposals=K, hidden_size=128, det_channel=128,
+                      head=4, depth=2).eval()
+    sd = ref.state_dict()
+
+    feats = rng.normal(0, 1, (B, K, 128)).astype(np.float32)
+    center = rng.normal(0, 2, (B, K, 3)).astype(np.float32)
+    size = rng.uniform(0.2, 2.0, (B, K, 3)).astype(np.float32)
+    heading = rng.uniform(-np.pi, np.pi, (B, K)).astype(np.float32)
+    corners = get_3d_box_batch(size, heading, center).astype(np.float32)
+    pc = rng.normal(0, 1, (B, N, 140)).astype(np.float32)  # mv NONZERO
+    seed_inds = rng.integers(0, N, (B, S)).astype(np.int64)
+    vote_inds = rng.integers(0, S, (B, K)).astype(np.int64)
+
+    params, stats = {}, {}
+    params["Dense_0"] = _conv1d(sd, "features_concat.0")
+    params["BatchNorm_0"], stats["BatchNorm_0"] = _bn(sd, "features_concat.1")
+    params["PReLU_0"] = _prelu(sd, "features_concat.2", 128)
+    params["Dense_1"] = _conv1d(sd, "features_concat.3")
+    for i in range(2):
+        for j, idx in enumerate((0, 3, 6)):
+            params[f"attn_fc{i}_{j}"] = _lin(sd, f"self_attn_fc.{i}.{idx}")
+        for j, idx in enumerate((2, 5)):
+            params[f"attn_ln{i}_{j}"] = _ln(sd, f"self_attn_fc.{i}.{idx}")
+        params[f"self_attn_{i}"] = _mha(sd, f"self_attn.{i}")
+        params[f"obj_embedding_{i}"] = _lin(sd, f"obj_embedding.{i}")
+        params[f"bbox_embedding_{i}"] = _lin(sd, f"bbox_embedding.{i}")
+
+    td = {"pred_bbox_feature": torch.from_numpy(feats),
+          "pred_bbox_corner": torch.from_numpy(corners),
+          "point_clouds": torch.from_numpy(pc),
+          "seed_inds": torch.from_numpy(seed_inds),
+          "aggregated_vote_inds": torch.from_numpy(vote_inds)}
+    with torch.no_grad():
+        td = ref(td)
+
+    out = RelationModule(num_proposals=K, reference_obj_gather=True).apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats), jnp.asarray(center), jnp.asarray(size),
+        jnp.asarray(heading), jnp.asarray(pc),
+        jnp.asarray(seed_inds.astype(np.int32)),
+        jnp.asarray(vote_inds.astype(np.int32)), train=False)
+    np.testing.assert_allclose(np.asarray(out["bbox_feature"]),
+                               td["bbox_feature"].numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+    # and the clean default must NOT match on nonzero multiview — the
+    # deviation is real, documented, and now opt-out
+    out_clean = RelationModule(num_proposals=K).apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats), jnp.asarray(center), jnp.asarray(size),
+        jnp.asarray(heading), jnp.asarray(pc),
+        jnp.asarray(seed_inds.astype(np.int32)),
+        jnp.asarray(vote_inds.astype(np.int32)), train=False)
+    assert not np.allclose(np.asarray(out_clean["bbox_feature"]),
+                           td["bbox_feature"].numpy(), atol=1e-3)

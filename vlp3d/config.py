@@ -65,6 +65,13 @@ class ModelConfig:
     # relation module (relation_module.py:101-102)
     multiview_offset: int = 6
     multiview_dim: int = 128
+    # replicate the reference's scrambled relation obj-feature gather
+    # bit-for-bit (relation_module.py:101-117 permute+reshape reads
+    # channel-major rows with a 128-stride batch offset) instead of the
+    # documented-intent point->seed->proposal gather. Off by default:
+    # the clean gather feeds semantically meaningful multiview features;
+    # flip on for exact-reproduction studies of the published weights.
+    reference_obj_gather: bool = False
 
     # feature toggles mirroring the reference's flags
     no_caption: bool = True

@@ -81,6 +81,7 @@ class JointNet(nn.Module):
             bn_momentum=self.bn_momentum,
             multiview_offset=cfg.multiview_offset,
             multiview_dim=cfg.multiview_dim,
+            reference_obj_gather=cfg.reference_obj_gather,
         )
         if not cfg.no_reference:
             from vlp3d.models.bert import distilbert_config

@@ -42,6 +42,9 @@ class RelationModule(nn.Module):
     use_dist_weight_matrix: bool = True
     use_obj_embedding: bool = True
     use_box_embedding: bool = True
+    # bit-exact replication of the reference's scrambled obj-feature
+    # read (see ModelConfig.reference_obj_gather)
+    reference_obj_gather: bool = False
 
     @nn.compact
     def __call__(
@@ -82,9 +85,26 @@ class RelationModule(nn.Module):
             point_idx = jnp.take_along_axis(
                 seed_inds, aggregated_vote_inds, axis=1
             )  # (B, K) indices into N
-            proposal_mv = jnp.take_along_axis(
-                obj_feat, point_idx[..., None], axis=1
-            )  # (B, K, 128)
+            if self.reference_obj_gather:
+                # the reference permutes to (B, C, N), reshapes the
+                # contiguous copy to (B*N, C) — rows are 128 CONSECUTIVE
+                # N-positions of one channel — and offsets batches by
+                # C (=128) instead of N (relation_module.py:101-117):
+                # proposals read channel-major slices of (mostly)
+                # batch 0's multiview block. Deterministic, so the
+                # published weights trained against exactly this read.
+                b, n, c = obj_feat.shape
+                rows = jnp.transpose(obj_feat, (0, 2, 1)).reshape(-1, c)
+                flat_idx = (
+                    point_idx + (jnp.arange(b) * c)[:, None]
+                ).reshape(-1)
+                proposal_mv = rows[flat_idx].reshape(
+                    b, self.num_proposals, c
+                )
+            else:
+                proposal_mv = jnp.take_along_axis(
+                    obj_feat, point_idx[..., None], axis=1
+                )  # (B, K, 128)
 
         # geometric attention bias inputs (centers == mean of corners)
         centers = pred_center  # (B, K, 3)
