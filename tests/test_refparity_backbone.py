@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from refimport import import_point_mlp, import_sa, randomize_bn_stats
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.models.backbone import PointNet2Backbone
 
 B, N = 2, 4096

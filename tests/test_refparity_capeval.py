@@ -9,6 +9,8 @@ import pytest
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.eval.capeval import Bleu, Cider, Rouge
 
 

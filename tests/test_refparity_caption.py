@@ -19,6 +19,8 @@ import jax.numpy as jnp
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.models.caption import (CaptionDecoder, causal_caption_mask,
                                   greedy_decode, nearest_proposal_token,
                                   padding_caption_mask)

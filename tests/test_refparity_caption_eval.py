@@ -14,6 +14,8 @@ import pytest
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.data.tokenizer import BertWordPieceTokenizer
 from vlp3d.eval.captioning import decode_caption, prepare_corpus
 

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.models.contrast import ContrastModule
 
 B, K, L, H = 2, 32, 4, 128

@@ -32,6 +32,8 @@ import pytest
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.data.dataset import (
     InMemorySceneSource,
     ScanReferJointDataset,

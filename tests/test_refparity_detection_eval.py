@@ -14,6 +14,8 @@ import pytest
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.eval import detection as jdet
 
 B, K, K2, N = 2, 24, 10, 600

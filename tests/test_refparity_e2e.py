@@ -33,6 +33,8 @@ import jax.numpy as jnp
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from test_refparity_dataset import (
     LANG_NUM_MAX, META, SCENE, SEED, TSV, WORDS,
     make_scanrefer, make_scene_files, write_bert_vocab,

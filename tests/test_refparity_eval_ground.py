@@ -15,6 +15,8 @@ import pytest
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.eval.grounding import get_eval as our_get_eval
 
 B, K, K2, L = 2, 16, 20, 4

@@ -24,6 +24,8 @@ import pytest
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.data import scannet as ours
 
 TSV = "/root/reference/data/scannet/meta_data/scannetv2-labels.combined.tsv"

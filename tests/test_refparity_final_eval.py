@@ -8,6 +8,8 @@ import pytest
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.eval.grounding import final_eval_breakdown
 
 

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.geometry import boxes as jboxes
 from vlp3d.geometry.nn_distance import huber_loss as j_huber
 from vlp3d.geometry.nn_distance import nn_distance as j_nn_distance

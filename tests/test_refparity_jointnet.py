@@ -32,6 +32,8 @@ from refimport import (bn, conv_kernel, dense, emb, import_point_mlp,
                        randomize_bn_stats)
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.config import Config, DatasetConfig, ModelConfig
 from vlp3d.models.jointnet import JointNet
 

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.losses import detection as jdet
 from vlp3d.losses import grounding as jgrd
 from vlp3d.losses.captioning import compute_cap_loss as j_cap_loss

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from refimport import randomize_bn_stats
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.models.attention import (CrossAttentionDecoderLayer,
                                     MultiHeadAttention)
 from vlp3d.models.match import MatchModule

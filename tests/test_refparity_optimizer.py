@@ -36,6 +36,8 @@ import jax.numpy as jnp
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.train.optimizer import MODULE_LR_GROUPS, label_params, make_optimizer
 from vlp3d.train.schedules import cosine_lr, step_lr
 

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from refimport import bn, dense, import_sa, randomize_bn_stats
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.geometry import boxes as jboxes
 from vlp3d.models.proposal import ProposalModule
 

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.models.answer import AnswerModule, AttFlat
 from vlp3d.models.mcan import MCAN_ED
 

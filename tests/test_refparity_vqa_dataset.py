@@ -21,6 +21,8 @@ import pytest
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.data.dataset import InMemorySceneSource
 from vlp3d.data.tokenizer import BertWordPieceTokenizer
 from vlp3d.data.vqa_dataset import ScanQADataset, build_answer_vocab

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.eval.vqa import answer_accuracy
 
 B, K, K2, L, A = 2, 16, 20, 1, 23

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.losses.vqa import compute_vqa_loss
 
 B, K, K2, S, N = 3, 24, 10, 32, 160

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 
 from refshim import load_reference
 
+pytestmark = pytest.mark.refparity
+
 from vlp3d.models.bert import BertConfig as JBertConfig
 from vlp3d.models.bert import BertTextEncoder
 
