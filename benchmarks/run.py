@@ -212,7 +212,7 @@ def bench_joint_train():
     batch = _batch(config, 1)
     model = JointNet(config)
     opt = make_optimizer(
-        lr_schedule=lambda e: cosine_lr(e, 1.0, 200), steps_per_epoch=100
+        lr_schedule=lambda e, lr0: cosine_lr(e, lr0, 200), steps_per_epoch=100
     )
     state = create_state(model, opt, batch)
     train_step = make_train_step(model, config, opt, caption=False)

@@ -204,9 +204,10 @@ def config_from_args(args) -> Config:
             weight_decay=args.wd,
             amsgrad=getattr(args, "amsgrad", False),
             # train_3dvlp.py:180-196: --coslr -> cosine; detection-only
-            # without it -> MultiStepLR; else no scheduler. CLIs that
-            # never expose --coslr (e.g. standalone VQA, which the
-            # reference trains unscheduled) fall through to "none".
+            # without it -> MultiStepLR; else no scheduler. The VQA
+            # paths override after resolve with their own MultiStepLR
+            # recipe ([100, 200] x 0.2; lib/vqa/solver.py:210-216 —
+            # their --coslr is parsed but unused).
             lr_schedule=(
                 "cosine" if getattr(args, "coslr", False)
                 else "step" if getattr(args, "no_caption", False)

@@ -89,6 +89,11 @@ def main(argv=None):
     p.add_argument("--project", type=str, default="ScanQA_v1.0")
     p.add_argument("--answer_max_size", type=int, default=-1)
     p.add_argument("--answer_min_freq", type=int, default=1)
+    # reference VQA recipe: MultiStepLR([100, 200], gamma 0.2)
+    # (scripts/joint_scripts/train_qa.py:446-449 + lib/vqa/solver.py:210)
+    p.add_argument("--lr_decay_step", nargs="+", type=int,
+                   default=[100, 200])
+    p.add_argument("--lr_decay_rate", type=float, default=0.2)
     args = p.parse_args(argv)
     args.use_answer = True
     args.no_caption = True  # reference get_model: no_caption=True
@@ -114,6 +119,14 @@ def main(argv=None):
             num_answers=train_ds.num_answers,
             use_answer=True,
             no_caption=True,
+        ),
+        train=dataclasses.replace(
+            config.train,
+            # the VQA solver schedules MultiStepLR regardless of --coslr
+            # (lib/vqa/solver.py:210-216; coslr is parsed but unused)
+            lr_schedule="step",
+            lr_decay_steps=tuple(args.lr_decay_step),
+            lr_decay_rate=args.lr_decay_rate,
         ),
     )
 

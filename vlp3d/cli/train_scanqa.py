@@ -35,6 +35,9 @@ def build_parser():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--wd", type=float, default=1e-5)
     p.add_argument("--num_points", type=int, default=40000)
+    p.add_argument("--lr_decay_step", nargs="+", type=int,
+                   default=[100, 200])
+    p.add_argument("--lr_decay_rate", type=float, default=0.2)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--val_step", type=int, default=1)
     p.add_argument("--smoke", action="store_true",
@@ -178,7 +181,20 @@ def main(argv=None):
     )(first)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = optax.adamw(args.lr, weight_decay=args.wd)
+    # reference standalone recipe: MultiStepLR([100, 200], gamma 0.2)
+    # (scripts/vqa_scripts/train.py:49-50 + lib/vqa/solver.py:210-216),
+    # stepped per epoch
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    milestones = tuple(getattr(args, "lr_decay_step", (100, 200)))
+    rate = getattr(args, "lr_decay_rate", 0.2)
+
+    def _lr(step):
+        e = step // steps_per_epoch
+        k = sum((e >= m).astype(jnp.int32) if hasattr(e, "dtype")
+                else int(e >= m) for m in milestones)
+        return args.lr * (rate ** k)
+
+    tx = optax.adamw(_lr, weight_decay=args.wd)
     opt_state = tx.init(params)
     mean_size = jnp.asarray(config.dataset.mean_size_arr())
 

@@ -170,10 +170,18 @@ class HashTokenizer:
         return {"input_ids": input_ids, "attention_mask": attention}
 
     def decode(self, ids) -> str:
-        return " ".join(
-            f"tok{int(i)}" for i in ids
-            if int(i) not in (PAD, CLS, SEP)
-        )
+        # truncate at the first SEP like BertWordPieceTokenizer.decode
+        # (decode_caption relies on it; a non-stopping decode leaked
+        # post-SEP tokens into caption candidates on the hash-vocab path)
+        words = []
+        for i in ids:
+            i = int(i)
+            if i in (PAD, CLS):
+                continue
+            if i == SEP:
+                break
+            words.append(f"tok{i}")
+        return " ".join(words)
 
 
 def load_tokenizer(vocab_path: str | None = None):

@@ -80,10 +80,11 @@ class ScanQADataset(ScanReferJointDataset):
                     "answers": q.get("answers", []),
                 }
             )
+        answer_counter = kwargs.pop("answer_counter", None)
         if answer_vocab is None:
             answer_vocab, answer_counter = build_answer_vocab(anns)
         else:
-            answer_counter = kwargs.pop("answer_counter", None) or {}
+            answer_counter = answer_counter or {}
         self.answer_vocab = answer_vocab
         self.answer_counter = answer_counter
         self.num_answers = num_answers or max(len(self.answer_vocab), 1)
