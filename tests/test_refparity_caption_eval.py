@@ -47,7 +47,7 @@ def tokenizers(tmp_path_factory):
         "[UNK]", "[CLS]", "[SEP]", "[MASK]",
     ] + WORDS
     (tmp / "vocab.txt").write_text("\n".join(words) + "\n")
-    from transformers import BertTokenizer
+    BertTokenizer = pytest.importorskip("transformers").BertTokenizer
 
     return (
         BertTokenizer.from_pretrained(str(tmp)),
@@ -85,6 +85,9 @@ def test_decode_caption_matches(ref_helper, tokenizers):
         ids_for(["red", "chair"], sep=False),  # missing SEP -> appended
         ids_for([]),  # empty caption
         ids_for(["in", "the", "corner", ",", "a", "chair", "."]),
+        # leading continuation piece: HF's replace(' ##','') glues it
+        # onto '[CLS]' itself — the candidate token becomes '[CLS]en'
+        ids_for(["##en", "chair", "."]),
     ]
     for ids in cases:
         want = ref_helper.decode_caption(hf, ids)

@@ -291,3 +291,46 @@ def test_adamw_schedule_trajectory_parity(torch, scheduler_kind, amsgrad):
                                    err_msg=f"module group, step {step}")
         np.testing.assert_allclose(ob, rb, rtol=0, atol=2e-6,
                                    err_msg=f"base group, step {step}")
+
+
+def test_vqa_adam_clip_recipe_trajectory(torch):
+    """The VQA paths' optimizer: plain torch Adam (COUPLED L2), one param
+    group, clip_grad_value_(1.0) before the step, MultiStepLR([100, 200],
+    0.2) stepped per epoch (scripts/joint_scripts/train_qa.py:145-159 +
+    lib/vqa/solver.py:210-216, 330-340) vs make_optimizer(optim_name=
+    'adam', single_group=True, clip_grad_value=1.0)."""
+    lr, wd = 5e-4, 1e-5
+    rng = np.random.default_rng(9)
+    steps_per_epoch = 2
+    # grads straddle the clip bound so clipping actually bites
+    grads = [rng.normal(0, 2, (4, 4)).astype(np.float32) for _ in range(12)]
+
+    w = torch.nn.Parameter(torch.full((4, 4), 0.3))
+    opt = torch.optim.Adam([w], lr=lr, weight_decay=wd)
+    sched = torch.optim.lr_scheduler.MultiStepLR(
+        opt, milestones=[2, 4], gamma=0.2)
+    ref_traj = []
+    for step, g in enumerate(grads):
+        w.grad = torch.from_numpy(g).clone()
+        torch.nn.utils.clip_grad_value_([w], clip_value=1.0)
+        opt.step()
+        opt.zero_grad()
+        if (step + 1) % steps_per_epoch == 0:
+            sched.step()
+        ref_traj.append(w.detach().numpy().copy())
+
+    ours = make_optimizer(
+        base_lr=lr, weight_decay=wd,
+        lr_schedule=lambda e, lr0: step_lr(e, lr0, (2, 4), 0.2),
+        steps_per_epoch=steps_per_epoch,
+        optim_name="adam", single_group=True, clip_grad_value=1.0,
+    )
+    params = jnp.full((4, 4), 0.3, jnp.float32)
+    state = ours.init(params)
+    for step, g in enumerate(grads):
+        updates, state = ours.update(jnp.asarray(g), state, params)
+        params = params + updates
+        np.testing.assert_allclose(
+            np.asarray(params), ref_traj[step], rtol=0, atol=2e-6,
+            err_msg=f"step {step}",
+        )

@@ -142,7 +142,7 @@ def env(torch, tmp_path_factory, ref_get_answer_cands):
     refvqa.CONF.PATH.SCANNET_META = META
     refvqa.CONF.PATH.SCANNET_DATA = str(scannet_data)
 
-    from transformers import BertTokenizer
+    BertTokenizer = pytest.importorskip("transformers").BertTokenizer
 
     hf_tok = BertTokenizer.from_pretrained(str(bert_dir))
     scanqa = make_scanqa()

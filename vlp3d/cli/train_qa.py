@@ -94,6 +94,12 @@ def main(argv=None):
     p.add_argument("--lr_decay_step", nargs="+", type=int,
                    default=[100, 200])
     p.add_argument("--lr_decay_rate", type=float, default=0.2)
+    p.add_argument("--max_grad_norm", type=float, default=1.0,
+                   help="clip_grad_value_ bound (the reference arg name; "
+                        "it clips VALUES, lib/vqa/solver.py:336-339)")
+    # VQA defaults differ from the joint path's
+    # (scripts/joint_scripts/train_qa.py:435-437: lr 5e-4, wd 1e-5)
+    p.set_defaults(lr=5e-4, wd=1e-5)
     args = p.parse_args(argv)
     args.use_answer = True
     args.no_caption = True  # reference get_model: no_caption=True
@@ -122,11 +128,16 @@ def main(argv=None):
         ),
         train=dataclasses.replace(
             config.train,
-            # the VQA solver schedules MultiStepLR regardless of --coslr
-            # (lib/vqa/solver.py:210-216; coslr is parsed but unused)
+            # the full VQA recipe (scripts/joint_scripts/train_qa.py +
+            # lib/vqa/solver.py): plain Adam (coupled L2) over ONE param
+            # group, MultiStepLR regardless of --coslr (parsed, unused),
+            # and clip_grad_value_(1.0)
             lr_schedule="step",
             lr_decay_steps=tuple(args.lr_decay_step),
             lr_decay_rate=args.lr_decay_rate,
+            optim_name="adam",
+            single_lr_group=True,
+            clip_grad_value=args.max_grad_norm,
         ),
     )
 

@@ -32,7 +32,8 @@ def build_parser():
     p.add_argument("--labels_tsv", type=str, default="")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--epoch", type=int, default=50)
-    p.add_argument("--lr", type=float, default=1e-3)
+    # reference default (scripts/vqa_scripts/train.py:44)
+    p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--wd", type=float, default=1e-5)
     p.add_argument("--num_points", type=int, default=40000)
     p.add_argument("--lr_decay_step", nargs="+", type=int,
@@ -194,7 +195,14 @@ def main(argv=None):
                 else int(e >= m) for m in milestones)
         return args.lr * (rate ** k)
 
-    tx = optax.adamw(_lr, weight_decay=args.wd)
+    # plain Adam with COUPLED L2 (optim.Adam, the reference default) +
+    # clip_grad_value_(1.0) (lib/vqa/solver.py:336-339)
+    tx = optax.chain(
+        optax.clip(1.0),
+        optax.add_decayed_weights(args.wd),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(_lr),
+    )
     opt_state = tx.init(params)
     mean_size = jnp.asarray(config.dataset.mean_size_arr())
 

@@ -120,6 +120,15 @@ class TrainConfig:
     module_lr: float = 5e-4  # lang/relation/match/caption groups
     weight_decay: float = 1e-5
     amsgrad: bool = False  # AMSGrad AdamW variant (scripts/utils/AdamW.py)
+    # "adamw" (joint path, vendored AdamW) | "adam" (VQA paths' default:
+    # coupled L2, scripts/joint_scripts/train_qa.py:145-159)
+    optim_name: str = "adamw"
+    # one param group at `lr` (the VQA scripts' model.parameters())
+    # instead of the joint lang/relation/match/caption split
+    single_lr_group: bool = False
+    # clip raw gradient VALUES (nn.utils.clip_grad_value_, the VQA
+    # solver's default 1.0; 0 disables)
+    clip_grad_value: float = 0.0
     # "cosine" | "step" | "none" (train_3dvlp.py:180-196: --coslr ->
     # cosine; detection-only without --coslr -> MultiStepLR; else none)
     lr_schedule: str = "cosine"

@@ -46,63 +46,22 @@ _PLY_TYPES = {
 }
 
 
-def read_ply_vertices(path: str) -> dict:
-    """Minimal PLY vertex reader (binary_little_endian / ascii)."""
+_PLY_NP = {
+    "char": "i1", "uchar": "u1", "int8": "i1", "uint8": "u1",
+    "short": "<i2", "ushort": "<u2", "int16": "<i2", "uint16": "<u2",
+    "int": "<i4", "int32": "<i4", "uint": "<u4", "uint32": "<u4",
+    "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+}
+
+
+def read_ply_mesh_arrays(path: str):
+    """ONE pass over a PLY (binary_little_endian / ascii): returns
+    (vertex dict as in read_ply_vertices, faces (F, 3) int64).
+    Vertices parse via a structured np.frombuffer (no per-row python
+    loop); exporting a full scan previously parsed the file twice."""
     with open(path, "rb") as f:
         fmt = None
-        props = []
-        n_verts = 0
-        in_vertex = False
-        while True:
-            line = f.readline().decode("ascii", "ignore").strip()
-            if line.startswith("format"):
-                fmt = line.split()[1]
-            elif line.startswith("element"):
-                _, name, cnt = line.split()
-                in_vertex = name == "vertex"
-                if in_vertex:
-                    n_verts = int(cnt)
-            elif line.startswith("property") and in_vertex:
-                parts = line.split()
-                if parts[1] == "list":
-                    raise ValueError("list property in vertex element")
-                props.append((parts[2], parts[1]))
-            elif line == "end_header":
-                break
-
-        names = [p[0] for p in props]
-        if fmt == "ascii":
-            rows = []
-            for _ in range(n_verts):
-                rows.append(
-                    [float(x) for x in f.readline().split()[: len(props)]]
-                )
-            data = np.asarray(rows)
-        else:
-            if fmt != "binary_little_endian":
-                raise ValueError(f"unsupported ply format {fmt}")
-            rec = "<" + "".join(_PLY_TYPES[t][0] for _, t in props)
-            size = struct.calcsize(rec)
-            raw = f.read(size * n_verts)
-            data = np.array(
-                [struct.unpack_from(rec, raw, i * size) for i in range(n_verts)],
-                dtype=np.float64,
-            )
-    return {name: data[:, i] for i, (name, _) in enumerate(props)} | {
-        "_names": names
-    }
-
-
-def read_ply_faces(path: str) -> np.ndarray:
-    """Face indices (F, 3) from a PLY's face element (list property).
-
-    Supports ascii and binary_little_endian with the standard
-    `list uchar int vertex_indices` layout; vertex data is skipped using
-    the header's property table.
-    """
-    with open(path, "rb") as f:
-        fmt = None
-        elements = []  # [(name, count, [(prop_name, type) | ('list', ct, it)])]
+        elements = []  # (name, count, props); list props as ('list', ct, it, name)
         cur = None
         while True:
             line = f.readline().decode("ascii", "ignore").strip()
@@ -115,45 +74,80 @@ def read_ply_faces(path: str) -> np.ndarray:
             elif line.startswith("property") and cur is not None:
                 parts = line.split()
                 if parts[1] == "list":
-                    cur[2].append(("list", parts[2], parts[3]))
+                    cur[2].append(("list", parts[2], parts[3], parts[4]))
                 else:
                     cur[2].append((parts[2], parts[1]))
             elif line == "end_header":
                 break
+        if fmt not in ("ascii", "binary_little_endian"):
+            raise ValueError(f"unsupported ply format {fmt}")
 
-        faces = []
+        verts: dict = {}
+        faces: list = []
         for name, cnt, props in elements:
-            if name != "face":
-                # skip this element's data
+            is_list = any(p[0] == "list" for p in props)
+            if name == "vertex":
+                if is_list:
+                    raise ValueError("list property in vertex element")
+                pnames = [p[0] for p in props]
+                if fmt == "ascii":
+                    rows = [
+                        [float(x) for x in f.readline().split()[: len(props)]]
+                        for _ in range(cnt)
+                    ]
+                    data = np.asarray(rows, np.float64)
+                    verts = {n: data[:, i] for i, n in enumerate(pnames)}
+                else:
+                    dt = np.dtype([(n, _PLY_NP[t]) for n, t in props])
+                    raw = f.read(dt.itemsize * cnt)
+                    rec = np.frombuffer(raw, dtype=dt, count=cnt)
+                    verts = {
+                        n: rec[n].astype(np.float64) for n in pnames
+                    }
+                verts["_names"] = pnames
+            elif name == "face" and is_list:
+                _, count_t, idx_t, _pn = props[0]
+                if fmt == "ascii":
+                    for _ in range(cnt):
+                        vals = f.readline().split()
+                        k = int(vals[0])
+                        faces.append([int(x) for x in vals[1:1 + k]])
+                else:
+                    cf = "<" + _PLY_TYPES[count_t][0]
+                    csz = struct.calcsize(cf)
+                    isz = struct.calcsize("<" + _PLY_TYPES[idx_t][0])
+                    for _ in range(cnt):
+                        (k,) = struct.unpack(cf, f.read(csz))
+                        idx = struct.unpack(
+                            "<" + _PLY_TYPES[idx_t][0] * k, f.read(isz * k)
+                        )
+                        faces.append(list(idx))
+            else:  # skip any other element
                 if fmt == "ascii":
                     for _ in range(cnt):
                         f.readline()
+                elif is_list:
+                    raise ValueError(f"cannot skip binary list element {name}")
                 else:
-                    if any(p[0] == "list" for p in props):
-                        raise ValueError(
-                            f"cannot skip binary list element {name}"
-                        )
-                    rec = "<" + "".join(
-                        _PLY_TYPES[t][0] for _, t in props
-                    )
+                    rec = "<" + "".join(_PLY_TYPES[t][0] for _, t in props)
                     f.read(struct.calcsize(rec) * cnt)
-                continue
-            if fmt == "ascii":
-                for _ in range(cnt):
-                    vals = f.readline().split()
-                    k = int(vals[0])
-                    faces.append([int(x) for x in vals[1:1 + k]])
-            else:
-                count_fmt, idx_fmt = props[0][1], props[0][2]
-                cf = "<" + _PLY_TYPES[count_fmt][0]
-                isz = struct.calcsize("<" + _PLY_TYPES[idx_fmt][0])
-                for _ in range(cnt):
-                    (k,) = struct.unpack(cf, f.read(struct.calcsize(cf)))
-                    idx = struct.unpack(
-                        "<" + _PLY_TYPES[idx_fmt][0] * k, f.read(isz * k)
-                    )
-                    faces.append(list(idx))
-    return np.asarray(faces, np.int64)
+    return verts, np.asarray(faces, np.int64) if faces else np.zeros(
+        (0, 3), np.int64
+    )
+
+
+def read_ply_vertices(path: str) -> dict:
+    """Minimal PLY vertex reader (binary_little_endian / ascii)."""
+    return read_ply_mesh_arrays(path)[0]
+
+
+def read_ply_faces(path: str) -> np.ndarray:
+    """Face indices (F, 3) from a PLY's face element (list property).
+
+    Supports ascii and binary_little_endian with the standard
+    `list uchar int vertex_indices` layout.
+    """
+    return read_ply_mesh_arrays(path)[1]
 
 
 def write_ply_mesh(path: str, vertices: np.ndarray, faces: np.ndarray):
@@ -227,8 +221,10 @@ def export_scan(
     Vertices are (N, 9) xyz + rgb + face-accumulated normals, matching
     scannet_utils.read_mesh_vertices_rgb_normal (load_scannet_data.py:57)
     — the canonical --use_normal training run consumes cols 6:9."""
-    mesh_vertices = read_mesh_vertices_rgb(mesh_file)
-    faces = read_ply_faces(mesh_file)
+    v, faces = read_ply_mesh_arrays(mesh_file)  # one parse for both
+    mesh_vertices = np.stack(
+        [v["x"], v["y"], v["z"], v["red"], v["green"], v["blue"]], axis=1
+    ).astype(np.float32)
     # f32 end-to-end: the reference's normal path is float32 (np.array
     # over float32 scalars infers float32, scannet_utils.py:113)
     mesh_vertices = np.concatenate(

@@ -44,17 +44,24 @@ def decode_caption(tokenizer, ids) -> str:
     """'[CLS] tokens... [SEP]' framing with '.' split out
     (eval_helper.py:47-55).
 
-    The whole sequence goes through tokenizer.decode so wordpieces merge
-    ('wood ##en' -> 'wooden') exactly like the reference's HF decode —
-    a per-token decode loop leaked raw '##'-prefixed pieces into the
-    candidate strings and broke metric parity
-    (tests/test_refparity_caption_eval.py). HF's tokenization cleanup is
-    replicated too: it glues , ? ! and contractions onto the previous
-    word, so the reference's candidate strings contain tokens like
-    'corner,' (while its corpus keeps 'corner ,') — a reference quirk the
-    scorers see, preserved deliberately; only '.' is split back out
-    (eval_helper.py:49)."""
-    text = tokenizer.decode(np.asarray(ids).reshape(-1).tolist())
+    Replicates the reference's HF decode string algebra exactly when the
+    tokenizer exposes its vocab (BertWordPieceTokenizer): join ALL
+    tokens (specials included), merge wordpieces via replace(' ##', '')
+    — which also glues a leading continuation piece onto '[CLS]', an HF
+    quirk the reference's candidates carry — then the tokenization
+    cleanup (',?!' and contractions glue onto the previous word, so
+    candidates contain 'corner,' while the corpus keeps 'corner ,'),
+    '.' split back out, and truncation after the first '[SEP]'
+    (eval_helper.py:47-55). A per-token decode loop previously leaked
+    raw '##' pieces into the candidate strings
+    (tests/test_refparity_caption_eval.py)."""
+    ids = np.asarray(ids).reshape(-1).tolist()
+    inv = getattr(tokenizer, "inv_vocab", None)
+    if inv is not None:
+        text = " ".join(inv.get(int(i), "[UNK]") for i in ids)
+        text = text.replace(" ##", "")
+    else:  # hash-vocab path: synthesize the same framing
+        text = "[CLS] " + tokenizer.decode(ids) + " [SEP]"
     for a, b in (
         (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
         (" ' ", "'"), (" n't", "n't"), (" 'm", "'m"), (" 's", "'s"),
@@ -62,7 +69,9 @@ def decode_caption(tokenizer, ids) -> str:
     ):
         text = text.replace(a, b)
     text = text.replace(".", " .")
-    return " ".join(("[CLS] " + text + " [SEP]").split())
+    pos = text.find("[SEP]")
+    text = text[: pos + 5] if pos != -1 else text + " [SEP]"
+    return " ".join(text.split())
 
 
 def collect_caption_candidates(

@@ -81,6 +81,9 @@ def make_optimizer(
     lr_schedule: Callable[[int, float], float] | None = None,
     steps_per_epoch: int = 1,
     amsgrad: bool = False,
+    optim_name: str = "adamw",
+    single_group: bool = False,
+    clip_grad_value: float = 0.0,
 ) -> optax.GradientTransformation:
     """lr_schedule maps (epoch, group_base_lr) -> absolute LR for that
     group. torch LR schedulers run per param group on the group's own
@@ -93,6 +96,15 @@ def make_optimizer(
     (scripts/utils/AdamW.py max_exp_avg_sq branch); here
     scale_by_amsgrad_torch (raw-second-moment max, torch's formulation)
     replaces scale_by_adam in the same decoupled-decay chain.
+
+    optim_name "adam": torch Adam with COUPLED L2 decay (wd*p added to
+    the grad before the moment updates) — the VQA paths' default
+    optimizer (scripts/joint_scripts/train_qa.py:145-159, optim.Adam).
+    single_group: one param group at base_lr (model.parameters(), as the
+    VQA scripts build it) instead of the joint lang/relation/match/
+    caption split. clip_grad_value > 0: clip raw gradient VALUES first
+    (the VQA solver's nn.utils.clip_grad_value_, lib/vqa/solver.py:
+    336-339 — clip_grad_value_, despite the arg's max_grad_norm name).
     """
 
     def sched(lr0):
@@ -100,7 +112,19 @@ def make_optimizer(
             return lr0
         return lambda step: lr_schedule(step // steps_per_epoch, lr0)
 
-    def adamw(lr0):
+    def core(lr0):
+        if optim_name == "adam":
+            second = (
+                scale_by_amsgrad_torch(b1=0.9, b2=0.999, eps=1e-8)
+                if amsgrad
+                else optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+            )
+            return optax.chain(
+                # coupled L2: decay enters the grads BEFORE the moments
+                optax.add_decayed_weights(weight_decay),
+                second,
+                optax.scale_by_learning_rate(sched(lr0)),
+            )
         if amsgrad:
             # mirror optax.adamw's chain with the AMSGrad second-moment rule
             return optax.chain(
@@ -116,7 +140,13 @@ def make_optimizer(
             weight_decay=weight_decay,
         )
 
-    return optax.multi_transform(
-        {"base": adamw(base_lr), "module": adamw(module_lr)},
-        label_params,
-    )
+    if single_group:
+        tx = core(base_lr)
+    else:
+        tx = optax.multi_transform(
+            {"base": core(base_lr), "module": core(module_lr)},
+            label_params,
+        )
+    if clip_grad_value and clip_grad_value > 0:
+        tx = optax.chain(optax.clip(clip_grad_value), tx)
+    return tx

@@ -159,6 +159,9 @@ class Solver:
             lr_schedule=schedule,
             steps_per_epoch=steps_per_epoch,
             amsgrad=config.train.amsgrad,
+            optim_name=config.train.optim_name,
+            single_group=config.train.single_lr_group,
+            clip_grad_value=config.train.clip_grad_value,
         )
         self._model_cache: dict = {}
         self.state: TrainState | None = None
