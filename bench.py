@@ -21,6 +21,9 @@ is a placeholder until the A100 measurement exists — recorded under
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -151,13 +154,25 @@ def main():
 
 
 if __name__ == "__main__":
-    # the axon relay occasionally throws a transient FailedPrecondition;
-    # retry so the driver's official run survives a hiccup
+    if "--inner" in sys.argv:
+        main()
+        sys.exit(0)
+    # The axon relay occasionally throws a transient FailedPrecondition
+    # — and, worse, sometimes HANGS the backend outright (observed: a
+    # trivial matmul never returning for 25+ min, then recovering).
+    # Exceptions can be retried in-process, but a hang cannot, so each
+    # attempt runs in a watchdogged subprocess; a fresh interpreter also
+    # re-establishes the tunnel connection.
     for attempt in range(3):
         try:
-            main()
-            break
-        except Exception:
-            if attempt == 2:
-                raise
-            time.sleep(20)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                timeout=1500,
+            )
+            if proc.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt == 2:
+            sys.exit(1)
+        time.sleep(60)
