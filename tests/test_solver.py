@@ -146,3 +146,52 @@ def test_warm_start_staged_pipeline(tmp_path):
             np.testing.assert_allclose(np.asarray(other), np.asarray(leaf))
             stat_checked += 1
     assert stat_checked > 0
+
+
+def test_caption_best_model_snapshot(tmp_path):
+    """caption_model saved on best bleu-4+cider+rouge+meteor sum
+    (solver_3dvlp.py:1166-1181) — pure epoch-loop logic, no jit."""
+    config = tiny_config()
+    config = config.__class__(
+        dataset=config.dataset,
+        model=config.model,
+        loss=config.loss,
+        train=config.train.__class__(batch_size=2, epochs=3),
+    )
+    ds = make_synthetic_dataset(config, n_scenes=1, anns_per_scene=2)
+    solver = Solver(config, ds, ds, str(tmp_path), caption=True)
+
+    # caption metric trajectory: up, down, up — expect snapshots at
+    # epochs 0 and 2 only
+    cap_vals = [
+        {"bleu-4": 0.1, "cider": 0.2, "rouge": 0.1, "meteor": 0.1},
+        {"bleu-4": 0.0, "cider": 0.1, "rouge": 0.1, "meteor": 0.1},
+        {"bleu-4": 0.3, "cider": 0.3, "rouge": 0.2, "meteor": 0.1},
+    ]
+    ground_vals = [0.1, 0.2, 0.15]
+    snapshots = []
+    solver.train_epoch = lambda epoch: {}
+    solver.eval_epoch = lambda epoch: {
+        "iou_rate_0.25": ground_vals[epoch],
+        "iou_rate_0.5": ground_vals[epoch],
+        "lang_acc": 0.5,
+        **cap_vals[epoch],
+    }
+    solver._snapshot = lambda name: snapshots.append(name)
+    solver._save_full_checkpoint = lambda epoch: None
+
+    best = solver(3, eval_every=1)
+    assert snapshots.count("caption_model") == 2
+    assert best["caption_sum"] == pytest.approx(0.9)
+    assert best["best_caption_epoch"] == 3
+    assert best["best_caption_bleu-4"] == pytest.approx(0.3)
+    # grounding taxonomy still keyed on its own trajectory
+    assert best["ground_5"] == pytest.approx(0.2)
+    # grounding-only run (no caption metrics) never saves caption_model
+    snapshots.clear()
+    solver.best["caption_sum"] = -1e10
+    solver.eval_epoch = lambda epoch: {
+        "iou_rate_0.25": 0.5, "iou_rate_0.5": 0.5, "lang_acc": 0.5,
+    }
+    solver(1, eval_every=1)
+    assert "caption_model" not in snapshots

@@ -631,6 +631,19 @@ class Solver:
                     if val["iou_rate_0.5"] > self.best["ground_5"]:
                         self.best["ground_5"] = val["iou_rate_0.5"]
                         self._snapshot("ground_model_5")
+                    if "bleu-4" in val:
+                        # caption best (solver_3dvlp.py:1166-1181):
+                        # caption_model.pth on best bleu-4+cider+rouge+meteor
+                        cap_metrics = ("bleu-4", "cider", "rouge", "meteor")
+                        caption_sum = float(
+                            sum(val[m] for m in cap_metrics)
+                        )
+                        if caption_sum > self.best["caption_sum"]:
+                            self.best["caption_sum"] = caption_sum
+                            self.best["best_caption_epoch"] = epoch + 1
+                            for m in cap_metrics:
+                                self.best[f"best_caption_{m}"] = float(val[m])
+                            self._snapshot("caption_model")
 
                 if epoch % 10 == 0 and epoch != 0:
                     self._save_full_checkpoint(epoch)
@@ -701,6 +714,11 @@ class Solver:
             self.state = replicate_global(
                 self.mesh, jax.tree.map(np.asarray, new_state)
             )
+        elif self.tp > 1:
+            # keep the Megatron weight shardings the state was created with
+            from vlp3d.parallel.tensor_parallel import shard_state
+
+            self.state = shard_state(self.mesh, new_state)
         else:
             self.state = replicate(self.mesh, new_state)
         return n_restored, n_skipped
