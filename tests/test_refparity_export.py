@@ -182,3 +182,27 @@ def test_build_preprocess_uses_stored_normals(tmp_path):
         str(tmp_path), "sceneX", "train", use_normal=True
     )
     np.testing.assert_array_equal(out[:, 3:6], vert[:, 6:9])
+
+
+def test_build_preprocess_fuse_order_multiview(tmp_path):
+    """Fused channel order is [xyz, normal, multiview] — the reference
+    concatenates normals BEFORE multiview
+    (scripts/preprocess/point_cloud.py:41-47), which is what makes the
+    relation module's hard-coded slice point_clouds[..., 6:6+128]
+    (relation_module.py:101) pick up the multiview block under the
+    canonical --use_normal --use_multiview flags."""
+    h5py = pytest.importorskip("h5py")
+    rng = np.random.default_rng(1)
+    vert = rng.normal(size=(40, 9)).astype(np.float32)
+    np.save(tmp_path / "sceneY_aligned_vert.npy", vert)
+    mv = rng.normal(size=(40, 128)).astype(np.float32)
+    mv_path = str(tmp_path / "mv.hdf5")
+    with h5py.File(mv_path, "w") as f:
+        f.create_dataset("sceneY", data=mv)
+    out = ours.build_preprocess(
+        str(tmp_path), "sceneY", "train",
+        use_normal=True, multiview_path=mv_path,
+    )
+    assert out.shape == (40, 3 + 3 + 128)
+    np.testing.assert_array_equal(out[:, 3:6], vert[:, 6:9])
+    np.testing.assert_allclose(out[:, 6:6 + 128], mv, rtol=1e-6)

@@ -31,6 +31,8 @@ import struct
 import numpy as np
 
 MAX_NUM_POINT = 50000
+# per-channel RGB dataset mean (scripts/preprocess/point_cloud.py:10)
+MEAN_COLOR_RGB = np.array([109.8, 97.2, 83.8], dtype=np.float64)
 DONOTCARE_CLASS_IDS = np.array([])
 OBJ_CLASS_IDS = np.array(
     [3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21,
@@ -351,20 +353,19 @@ def build_preprocess(
     output_dir: str | None = None,
 ):
     """Fuse per-point features into {scene}_preprocess_{split}.npy:
-    [xyz, (rgb-mean)/256?, multiview 128, normal 3] following the
-    train_3dvlp.py feature flags (the height channel is appended at load
-    time by the dataset)."""
+    [xyz, (rgb-mean)/256?, normal 3, multiview 128] — normals BEFORE
+    multiview, matching the reference's fuse order
+    (scripts/preprocess/point_cloud.py:41-47) and hence the relation
+    module's hard-coded multiview slice at channel 6 under the canonical
+    flags (relation_module.py:101: point_clouds[..., 6:6+128]); the
+    height channel is appended at load time by the dataset."""
     output_dir = output_dir or data_dir
     vert = np.load(os.path.join(data_dir, scene_id + "_aligned_vert.npy"))
     xyz = vert[:, :3]
     feats = [xyz]
     if use_color:
-        feats.append((vert[:, 3:6] - 109.8) / 256.0)  # MEAN_COLOR_RGB
-    if multiview_path:
-        import h5py
-
-        with h5py.File(multiview_path, "r") as f:
-            feats.append(np.asarray(f[scene_id]))
+        # per-channel dataset mean (scripts/preprocess/point_cloud.py:10)
+        feats.append((vert[:, 3:6] - MEAN_COLOR_RGB) / 256.0)
     if use_normal:
         if vert.shape[1] >= 9:
             # exporter-stored face normals (scannet_utils.py:97-117);
@@ -374,6 +375,11 @@ def build_preprocess(
         else:
             # legacy 6-col exports: fall back to kNN-PCA estimation
             feats.append(estimate_normals(xyz))
+    if multiview_path:
+        import h5py
+
+        with h5py.File(multiview_path, "r") as f:
+            feats.append(np.asarray(f[scene_id]))
     out = np.concatenate(feats, axis=1).astype(np.float32)
     np.save(
         os.path.join(output_dir, f"{scene_id}_preprocess_{split}.npy"), out
