@@ -15,24 +15,20 @@ quirks included:
     length" delta, x10 scaling;
   * ROUGE-L (rouge.py): beta = 1.2 F-measure of the INDEPENDENT maxima
     of precision and recall over references (not max-F); split(" ");
-  * METEOR: pure-Python exact+stem-lite matcher with the standard
-    alpha=0.9/beta=3/gamma=0.5 parametrization. NOTE: the reference shells
-    out to meteor-1.5.jar (lib/capeval/meteor/meteor.py:12-24, the jar is
-    not in the checkout) which adds WordNet synonym matching; this
-    implementation uses exact + suffix-strip matching only, so absolute
-    values differ slightly from the jar.
+  * METEOR: a real METEOR 1.5 implementation (vlp3d/eval/meteor.py):
+    Snowball/Porter2 stemmer, beam alignment with fewest-chunks
+    tie-break, 1.5 English parameters, micro-averaged corpus score.
+    The reference shells out to meteor-1.5.jar
+    (lib/capeval/meteor/meteor.py:12-24; the jar is not in the
+    checkout). Synonym/paraphrase/function-word tables are jar data
+    assets — supported behind optional paths, absent by default, which
+    is the only residual deviation from the jar.
 """
 
 from __future__ import annotations
 
 import math
 from collections import Counter, defaultdict
-
-
-def _tokens(s: str) -> list:
-    """Lowercased whitespace tokens (Meteor only; the BLEU/CIDEr/ROUGE
-    ports below split exactly as the vendored scorers do)."""
-    return s.lower().split()
 
 
 def _ngrams(tokens, n):
@@ -213,67 +209,9 @@ class Rouge:
 
 
 # --------------------------------------------------------------- METEOR
-def _stem_lite(w):
-    for suf in ("ing", "ed", "es", "s"):
-        if len(w) > len(suf) + 2 and w.endswith(suf):
-            return w[: -len(suf)]
-    return w
+# Real METEOR 1.5 implementation (Snowball stemmer, beam aligner, the
+# 1.5 English parameters) — see vlp3d/eval/meteor.py. Replaces the
+# jar subprocess the reference uses (lib/capeval/meteor/meteor.py:12-24).
+from vlp3d.eval.meteor import Meteor15 as Meteor  # noqa: E402
 
-
-class Meteor:
-    alpha = 0.9
-    beta = 3.0
-    gamma = 0.5
-
-    def _align(self, hyp, ref):
-        """Greedy exact-then-stem alignment; returns matched index pairs."""
-        matches = []
-        used = set()
-        for stage in (lambda w: w, _stem_lite):
-            for i, h in enumerate(hyp):
-                if any(m[0] == i for m in matches):
-                    continue
-                for j, r in enumerate(ref):
-                    if j in used:
-                        continue
-                    if stage(h) == stage(r):
-                        matches.append((i, j))
-                        used.add(j)
-                        break
-        return sorted(matches)
-
-    def _chunks(self, matches):
-        if not matches:
-            return 0
-        chunks = 1
-        for (i1, j1), (i2, j2) in zip(matches, matches[1:]):
-            if i2 != i1 + 1 or j2 != j1 + 1:
-                chunks += 1
-        return chunks
-
-    def _single(self, hyp, ref):
-        matches = self._align(hyp, ref)
-        m = len(matches)
-        if m == 0:
-            return 0.0
-        p = m / len(hyp)
-        r = m / len(ref)
-        f = p * r / (self.alpha * p + (1 - self.alpha) * r)
-        frag = self._chunks(matches) / m
-        penalty = self.gamma * (frag**self.beta)
-        return f * (1 - penalty)
-
-    def compute_score(self, gts: dict, res: dict):
-        scores = []
-        for key in gts:
-            hyp = _tokens(res[key][0])
-            best = max(
-                (self._single(hyp, _tokens(r)) for r in gts[key]),
-                default=0.0,
-            )
-            scores.append(best)
-        mean = sum(scores) / max(len(scores), 1)
-        return mean, scores
-
-    def score(self, gts, res):
-        return self.compute_score(gts, res)
+__all__ = ["Bleu", "Cider", "Rouge", "Meteor"]
