@@ -131,3 +131,45 @@ def test_label_map(tmp_path):
     )
     m = read_label_map(str(tsv))
     assert m == {"chair": 5, "coffee table": 7}
+
+
+class TestPreprocessLayoutCheck:
+    """Stale-cache detection (ADVICE r2): old fuse order put normals
+    LAST; same shape, silently misread — must raise at load."""
+
+    def _mv(self, n, rng):
+        return rng.normal(0, 2.0, (n, 128)).astype(np.float32)
+
+    def _normals(self, n, rng):
+        v = rng.normal(size=(n, 3)).astype(np.float32)
+        return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    def test_current_order_passes(self, rng):
+        from vlp3d.data.scannet import check_preprocess_layout
+
+        n = 500
+        xyz = rng.normal(size=(n, 3)).astype(np.float32)
+        pc = np.concatenate([xyz, self._normals(n, rng), self._mv(n, rng)], 1)
+        check_preprocess_layout(pc)  # no raise
+        pc_color = np.concatenate(
+            [xyz, rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32),
+             self._normals(n, rng), self._mv(n, rng)], 1)
+        check_preprocess_layout(pc_color)  # no raise
+
+    def test_stale_order_raises(self, rng):
+        import pytest as _pytest
+
+        from vlp3d.data.scannet import check_preprocess_layout
+
+        n = 500
+        xyz = rng.normal(size=(n, 3)).astype(np.float32)
+        stale = np.concatenate(
+            [xyz, self._mv(n, rng), self._normals(n, rng)], 1)
+        with _pytest.raises(ValueError, match="stale preprocess cache"):
+            check_preprocess_layout(stale, "scene0000_00_preprocess_train.npy")
+
+    def test_other_widths_ignored(self, rng):
+        from vlp3d.data.scannet import check_preprocess_layout
+
+        check_preprocess_layout(
+            rng.normal(size=(100, 6)).astype(np.float32))  # ambiguous: skip

@@ -158,6 +158,11 @@ class DirectorySceneSource:
             if key not in self.cache:
                 p = os.path.join(self.root, scene_id)
                 point_cloud = np.load(f"{p}_preprocess_{split}.npy")
+                from vlp3d.data.scannet import check_preprocess_layout
+
+                check_preprocess_layout(
+                    point_cloud, f"{p}_preprocess_{split}.npy"
+                )
                 if self.multiview_hdf5 is not None:
                     point_cloud = np.concatenate(
                         [point_cloud, self._multiview(scene_id)], axis=1
