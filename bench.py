@@ -142,15 +142,60 @@ def main():
                     scenes_per_sec / BASELINE_SCENES_PER_SEC, 3
                 ),
                 "baseline_assumed": BASELINE_SCENES_PER_SEC,
+                # BASELINE.md "Defending the 20 scenes/s assumption":
+                # the A100 reference throughput is a RECONSTRUCTION
+                # (no NVIDIA GPU here); plausible range below. At the
+                # pessimistic end vs_baseline scales by 20/35.
+                "baseline_error_bars": [15.0, 35.0],
                 "batch_size": batch_size,
                 "num_points": num_points,
                 "mean_step_ms": round(mean_t * 1e3, 2),
                 "sync_step_ms": round(sync_ms, 2),
                 "stream_len": STREAM_LEN,
                 "backend": jax.default_backend(),
+                # full perf suite (training/captioning/serving included)
+                # so regressions outside the headline are driver-visible
+                "suite": _run_suite(),
             }
         )
     )
+
+
+def _run_suite():
+    """Best-effort benchmarks/run.py sweep (sa_stack / detection /
+    grounding / captioning / joint_train at canonical batch 8, plus the
+    batch-16 serving point) in watchdogged subprocesses — a hang or
+    crash in any sweep never loses the headline metric."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    runner = os.path.join(here, "benchmarks", "run.py")
+    suite = {}
+
+    def sweep(tag, argv, timeout):
+        added = 0
+        try:
+            proc = subprocess.run(
+                [sys.executable, runner, *argv],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                rec = json.loads(line)
+                name = rec.pop("benchmark", tag)
+                suite[f"{tag}{name}" if tag else name] = rec
+                added += 1
+            if proc.returncode != 0 and not added:
+                suite[tag or "all"] = {"error": proc.stderr[-400:]}
+        except subprocess.TimeoutExpired:
+            suite[tag or "all"] = {"error": "timeout"}
+        except Exception as exc:  # noqa: BLE001 - suite is best-effort
+            suite[tag or "all"] = {"error": repr(exc)}
+
+    sweep("", ["--bench", "all"], timeout=1500)
+    sweep("serving_b16_", ["--bench", "grounding", "--batch", "16"],
+          timeout=300)
+    return suite
 
 
 if __name__ == "__main__":
@@ -167,7 +212,7 @@ if __name__ == "__main__":
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner"],
-                timeout=1500,
+                timeout=2700,
             )
             if proc.returncode == 0:
                 break

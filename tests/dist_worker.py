@@ -121,6 +121,56 @@ def main() -> None:
     assert np.isfinite(loss), loss
     print(f"DIST_OK rank={ctx.rank} loss={loss:.8f} pnorm={pnorm:.8f}", flush=True)
 
+    # ---- tensor parallelism ACROSS the process boundary -----------------
+    # (data, model) mesh transposed so the model axis pairs one device
+    # from EACH process: the column-parallel w1 / row-parallel w2 matmul
+    # chain forces GSPMD's TP all-reduce onto the cross-process gloo
+    # channel. Identical losses prove the partial matmul products met
+    # across hosts (each process only holds half of every kernel).
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.asarray(jax.devices()).reshape(2, 2).T  # model axis x-proc
+    tp_mesh = Mesh(devs, ("data", "model"))
+    w1 = rng.normal(size=(3, 32)).astype(np.float32) * 0.1
+    w2 = rng.normal(size=(32, 3)).astype(np.float32) * 0.1
+    w1 = jax.make_array_from_callback(
+        w1.shape, NamedSharding(tp_mesh, P(None, "model")),
+        lambda idx: w1[idx],
+    )
+    w2 = jax.make_array_from_callback(
+        w2.shape, NamedSharding(tp_mesh, P("model", None)),
+        lambda idx: w2[idx],
+    )
+    # With the transposed mesh each process's devices sit in DIFFERENT
+    # data rows, so its addressable slice is non-contiguous; both
+    # processes hold the identical full batch (same seed) and let
+    # make_array_from_process_local_data carve out what they own.
+    data_sh = NamedSharding(tp_mesh, P("data"))
+    xs = {
+        k: jax.make_array_from_process_local_data(
+            data_sh, src, (global_bs,) + src.shape[1:]
+        )
+        for k, src in (("x", full["point_clouds"]),
+                       ("y", full["center_label"]))
+    }
+
+    def tp_loss(w1, w2, b):
+        h = jnp.maximum(b["x"] @ w1, 0.0)  # col-parallel
+        pred = jnp.mean(h, axis=1) @ w2  # row-parallel -> all-reduce
+        return jnp.mean((pred - b["y"]) ** 2)
+
+    tp_step = jax.jit(jax.value_and_grad(tp_loss, argnums=(0, 1)))
+    compiled_tp = tp_step.lower(w1, w2, xs).compile()
+    barrier("dist_worker_tp_compiled")
+    tl, (g1, g2) = compiled_tp(w1, w2, xs)
+    tl = float(tl)
+    gnorm = float(
+        (jnp.sum(g1 * g1) + jnp.sum(g2 * g2)) ** 0.5
+    )
+    assert np.isfinite(tl) and np.isfinite(gnorm)
+    print(f"DIST_TP_OK rank={ctx.rank} loss={tl:.8f} gnorm={gnorm:.8f}",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -89,6 +89,19 @@ def test_two_process_train_step(mode):
     # loss reductions spanned both processes (each fed a different half)
     assert vals[0] == vals[1], vals
 
+    # TP across the process boundary: each process holds half of every
+    # kernel; equal loss/grad norms prove the column/row-parallel matmul
+    # partials were all-reduced across hosts
+    tp_vals = []
+    for rank, _, out, _ in results:
+        m = re.search(
+            rf"DIST_TP_OK rank={rank} loss=([-\d.einf]+) gnorm=([-\d.einf]+)",
+            out,
+        )
+        assert m, f"no DIST_TP_OK from rank {rank}: {out[-2000:]}"
+        tp_vals.append((float(m.group(1)), float(m.group(2))))
+    assert tp_vals[0] == tp_vals[1], tp_vals
+
 
 def test_dist_init_noop_without_rendezvous():
     """Single-process: dist_init is a no-op (reference dist.py:33-36)."""

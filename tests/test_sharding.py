@@ -56,12 +56,23 @@ def test_module_lr_groups():
     state = create_state(model, optimizer, batch)
     from vlp3d.train.optimizer import label_params
 
+    import jax
+
     labels = label_params(state.params)
-    assert labels["lang"] == "module"
-    assert labels["match"] == "module"
-    assert labels["relation"] == "module"
-    assert labels["backbone_net"] == "base"
-    assert labels["proposal"] == "base"
+
+    def leaf_labels(subtree):
+        return set(jax.tree_util.tree_leaves(subtree))
+
+    # frozen BERT text encoder gets NO updates and NO weight decay
+    # (torch excludes requires_grad=False params from every param group)
+    assert leaf_labels(labels["lang"]["text_encoder"]) == {"frozen"}
+    rest_lang = {k: v for k, v in labels["lang"].items()
+                 if k != "text_encoder"}
+    assert leaf_labels(rest_lang) == {"module"}
+    assert leaf_labels(labels["match"]) == {"module"}
+    assert leaf_labels(labels["relation"]) == {"module"}
+    assert leaf_labels(labels["backbone_net"]) == {"base"}
+    assert leaf_labels(labels["proposal"]) == {"base"}
 
 
 def test_gather_negatives_matches_single_device():

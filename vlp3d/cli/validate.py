@@ -1,0 +1,499 @@
+"""vlp3d-validate: asset-gated end-to-end validation runbook.
+
+The standing blocker on full accuracy validation is that this
+environment has no real assets (no egress: HF weights, ScanNet scans,
+ScanRefer/ScanQA jsons are all downloads). This CLI converts that
+blocker into a zero-thought runbook: point it at whatever real assets
+exist and it runs every check those assets enable, emitting a
+machine-readable report:
+
+  tokenizer_golden     our WordPiece vs HF BertTokenizer on the same
+                       vocab.txt (value-exact token ids)
+  bert_weight_import   torch state_dict -> flax BertTextEncoder import
+                       (shape-checked), finite fixed-sentence forward,
+                       unconsumed-key inventory
+  scene_cache          preprocess npy loads + stale-layout guard
+                       (vlp3d.data.scannet.check_preprocess_layout)
+  predict_contract     one-scene grounding predict() producing the
+                       benchmark pred.json records (train_3dvlp.py
+                       predict(), :423-538 / benchmark contract)
+  grounding_acc        Acc@0.25/0.5 of those predictions vs GT boxes
+                       (random weights give ~0; meaningful with
+                       --model_dir)
+  caption_smoke        greedy decode -> detokenized strings -> BLEU-4/
+                       CIDEr/ROUGE-L/METEOR vs the scene's GT
+                       descriptions (finite-metric smoke)
+
+Each check reports ok / fail / skipped(+reason). Exit code 1 iff any
+non-skipped check fails. Reference contracts: run.sh:1,
+scripts/joint_scripts/train_3dvlp.py:423-538, lang_bert_module.py:34.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import traceback
+
+
+def _load_torch_state_dict(bert_dir: str) -> dict:
+    import numpy as np
+
+    bin_path = os.path.join(bert_dir, "pytorch_model.bin")
+    st_path = os.path.join(bert_dir, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(st_path, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    import torch
+
+    sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+    return {k: np.asarray(v) for k, v in sd.items()}
+
+
+def _bert_config_from_state_dict(sd: dict):
+    """Infer BertConfig dims from an HF checkpoint (so small stand-in
+    checkpoints validate the same code path as bert-base)."""
+    from vlp3d.models.bert import BertConfig
+
+    def g(name):
+        return sd[name if name in sd else "bert." + name]
+
+    emb = g("embeddings.word_embeddings.weight")
+    n_layers = 0
+    while any(
+        k.startswith((f"encoder.layer.{n_layers}.",
+                      f"bert.encoder.layer.{n_layers}."))
+        for k in sd
+    ):
+        n_layers += 1
+    inter = g("encoder.layer.0.intermediate.dense.weight").shape[0]
+    pos = g("embeddings.position_embeddings.weight").shape[0]
+    hidden = emb.shape[1]
+    heads = max(1, hidden // 64)
+    return BertConfig(
+        vocab_size=emb.shape[0], hidden_size=hidden,
+        num_hidden_layers=n_layers, num_attention_heads=heads,
+        intermediate_size=inter, max_position_embeddings=pos,
+        fusion_layer=min(6, n_layers),
+    )
+
+
+def check_tokenizer_golden(args) -> dict:
+    vocab = os.path.join(args.bert_dir, "vocab.txt")
+    if not args.bert_dir or not os.path.exists(vocab):
+        return {"status": "skipped", "reason": "no --bert_dir/vocab.txt"}
+    from vlp3d.data.tokenizer import BertWordPieceTokenizer
+
+    ours = BertWordPieceTokenizer(vocab)
+    sentences = [
+        "this is the brown wooden chair next to the round table .",
+        "THE refrigerator, standing 2nd from the left; it's white.",
+        "a gray couch against the wall with an unusualword on it",
+    ]
+    try:
+        from transformers import BertTokenizer
+
+        hf = BertTokenizer(vocab, do_lower_case=True)
+    except Exception as exc:  # pragma: no cover - transformers missing
+        enc = ours(sentences, max_length=50)
+        return {"status": "ok",
+                "detail": f"round-trip only (no HF oracle: {exc!r})",
+                "nonzero_tokens": int(enc["attention_mask"].sum())}
+    mismatches = []
+    for s in sentences:
+        want = hf(s, padding="max_length", truncation=True,
+                  max_length=50)["input_ids"]
+        got = ours([s], max_length=50)["input_ids"][0].tolist()
+        if got != list(want):
+            mismatches.append({"sentence": s, "ours": got, "hf": want})
+    if mismatches:
+        return {"status": "fail", "mismatches": mismatches}
+    return {"status": "ok", "sentences": len(sentences)}
+
+
+def check_bert_weight_import(args) -> dict:
+    if not args.bert_dir:
+        return {"status": "skipped", "reason": "no --bert_dir"}
+    has_ckpt = any(
+        os.path.exists(os.path.join(args.bert_dir, f))
+        for f in ("pytorch_model.bin", "model.safetensors")
+    )
+    if not has_ckpt:
+        return {"status": "skipped",
+                "reason": "no pytorch_model.bin/model.safetensors"}
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlp3d.models.bert import BertTextEncoder, load_hf_bert_params
+
+    sd = _load_torch_state_dict(args.bert_dir)
+    cfg = _bert_config_from_state_dict(sd)
+    enc = BertTextEncoder(cfg)
+    ids = np.zeros((1, 12), np.int32)
+    ids[0, : 6] = [101 % cfg.vocab_size, 2023 % cfg.vocab_size,
+                   2003 % cfg.vocab_size, 1037 % cfg.vocab_size,
+                   3242 % cfg.vocab_size, 102 % cfg.vocab_size]
+    mask = (ids != 0).astype(np.int32)
+    variables = enc.init(jax.random.key(0), ids, mask)
+    # load_hf_bert_params addresses the LangModule layout (params under
+    # a 'text_encoder' child); wrap/unwrap the bare encoder tree
+    wrapped = load_hf_bert_params(
+        {"text_encoder": variables["params"]}, sd)
+    params = wrapped["text_encoder"]
+    out = enc.apply({"params": params}, ids, mask, deterministic=True)
+    cls = np.asarray(out[0, 0])
+    consumed = {"embeddings.", "encoder.layer.", "bert.embeddings.",
+                "bert.encoder.layer."}
+    unused = [
+        k for k in sd
+        if not any(k.startswith(p) for p in consumed)
+    ]
+    return {
+        "status": "ok" if np.isfinite(cls).all() else "fail",
+        "config": {
+            "hidden": cfg.hidden_size, "layers": cfg.num_hidden_layers,
+            "vocab": cfg.vocab_size, "fusion_layer": cfg.fusion_layer,
+        },
+        "cls_norm": float(np.linalg.norm(cls)),
+        "unconsumed_keys": unused[:20],
+    }
+
+
+def _scene_id(args) -> str | None:
+    if args.scene_id:
+        return args.scene_id
+    if not os.path.isdir(args.scannet_data):
+        return None
+    for f in sorted(os.listdir(args.scannet_data)):
+        if f.endswith(f"_preprocess_{args.split}.npy"):
+            return f[: -len(f"_preprocess_{args.split}.npy")]
+    return None
+
+
+def check_scene_cache(args) -> dict:
+    scene = _scene_id(args)
+    if scene is None:
+        return {"status": "skipped", "reason": "no --scannet_data scenes"}
+    from vlp3d.data.dataset import DirectorySceneSource
+
+    src = DirectorySceneSource(args.scannet_data)
+    data = src(scene, args.split)  # raises on stale layout
+    pc = data["point_cloud"]
+    return {
+        "status": "ok", "scene_id": scene,
+        "points": int(pc.shape[0]), "channels": int(pc.shape[1]),
+        "boxes": int(data["instance_bboxes"].shape[0]),
+    }
+
+
+def _build_predict_env(args):
+    """One-scene dataset + model + inference fn (shared by the predict /
+    grounding / caption checks)."""
+    import jax
+
+    from vlp3d.cli.common import load_scanrefer
+    from vlp3d.config import Config, DatasetConfig, ModelConfig
+    from vlp3d.data.dataset import (
+        BatchIterator, DirectorySceneSource, ScanReferJointDataset,
+        build_nyu40id2class, load_raw2label,
+    )
+    from vlp3d.data.tokenizer import load_tokenizer
+    from vlp3d.models.jointnet import JointNet
+    from vlp3d.train import checkpoint as ckpt
+    from vlp3d.train.optimizer import make_optimizer
+    from vlp3d.train.state import create_state
+
+    scene = _scene_id(args)
+    anns = [
+        d for d in load_scanrefer(args.scanrefer_dir, args.split)
+        if d["scene_id"] == scene
+    ][: args.max_annotations]
+    if not anns:
+        raise ValueError(f"no ScanRefer annotations for scene {scene}")
+
+    # derive input channels from the cache so stand-in assets work
+    from vlp3d.data.dataset import DirectorySceneSource as DSS
+
+    pc = DSS(args.scannet_data)(scene, args.split)["point_cloud"]
+    extra = pc.shape[1] - 3 + 1  # +height appended by the dataset
+    config = Config(
+        dataset=DatasetConfig(
+            num_points=args.num_points,
+            mean_size_path=args.mean_size_npz or None,
+        ),
+        model=ModelConfig(
+            input_feature_dim=extra,
+            num_proposal=args.num_proposals,
+            no_caption=args.no_caption,
+            use_con=False,
+            lang_num_max=1,
+        ),
+    )
+    ds = ScanReferJointDataset(
+        anns,
+        DirectorySceneSource(args.scannet_data),
+        load_tokenizer(os.path.join(args.bert_dir, "vocab.txt")
+                       if args.bert_dir else None),
+        split=args.split,
+        num_points=config.dataset.num_points,
+        lang_num_max=1,
+        use_height=True,
+        mean_size_arr=config.dataset.mean_size_arr(),
+        raw2label=load_raw2label(args.labels_tsv) if args.labels_tsv else {},
+        nyu40id2class=(build_nyu40id2class(args.labels_tsv)
+                       if args.labels_tsv else {}),
+        bert_max_len=config.model.bert_seq_len,
+        seed=0,
+    )
+    model = JointNet(config)
+    batch = next(iter(BatchIterator(ds, min(4, len(ds)), drop_last=False)))
+    arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+    state = create_state(model, make_optimizer(), arrays, 0)
+    if args.model_dir:
+        snap = ckpt.load_params(args.model_dir, "model")
+        state = state.replace(
+            params=snap["params"],
+            batch_stats=snap.get("batch_stats", state.batch_stats),
+        )
+
+    @jax.jit
+    def infer(params, batch_stats, b):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, b, train=False
+        )
+        keep = ("cluster_ref", "objectness_scores", "pred_center",
+                "pred_size")
+        return {k: out[k] for k in keep if k in out}
+
+    return ds, model, state, infer, config, anns
+
+
+def check_predict_contract(args, env) -> dict:
+    import numpy as np
+
+    from vlp3d.data.dataset import BatchIterator
+    from vlp3d.eval.box_iou import get_3d_box
+
+    ds, model, state, infer, config, anns = env
+    records = []
+    for batch in BatchIterator(ds, 4, drop_last=False):
+        arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        out = {k: np.asarray(v)
+               for k, v in infer(state.params, state.batch_stats,
+                                 arrays).items()}
+        b = out["pred_center"].shape[0]
+        k = out["pred_center"].shape[1]
+        masks = (np.argmax(out["objectness_scores"], -1) == 1)
+        conf = out["cluster_ref"].reshape(b, 1, k)
+        pred = np.argmax(conf * masks[:, None, :], -1)  # (B, 1)
+        for i in range(b):
+            if i >= len(batch["scene_id"]):
+                break
+            j = int(pred[i, 0])
+            bbox = get_3d_box(
+                out["pred_size"][i, j], 0.0, out["pred_center"][i, j]
+            )
+            records.append({
+                "scene_id": str(batch["scene_id"][i]),
+                "object_id": int(
+                    np.asarray(arrays["object_id_list"])[i, 0]),
+                "ann_id": int(np.asarray(arrays["ann_id_list"])[i, 0]),
+                "bbox": np.asarray(bbox).tolist(),
+                "unique_multiple": int(
+                    np.asarray(arrays["unique_multiple_list"])[i, 0]),
+                "others": int(np.asarray(arrays["others_list"])[i, 0])
+                if "others_list" in arrays else 0,
+            })
+    for r in records:
+        assert np.asarray(r["bbox"]).shape == (8, 3), r
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(args.out)) or ".", "pred.json")
+    with open(out_path, "w") as f:
+        json.dump(records, f)
+    return {"status": "ok", "records": len(records),
+            "pred_json": out_path}
+
+
+def check_grounding_acc(args, env) -> dict:
+    import numpy as np
+
+    from vlp3d.data.dataset import BatchIterator
+    from vlp3d.eval.box_iou import box3d_iou, get_3d_box
+
+    ds, model, state, infer, config, anns = env
+    ious = []
+    for batch in BatchIterator(ds, 4, drop_last=False):
+        arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        out = {k: np.asarray(v)
+               for k, v in infer(state.params, state.batch_stats,
+                                 arrays).items()}
+        b, k = out["pred_center"].shape[:2]
+        masks = (np.argmax(out["objectness_scores"], -1) == 1)
+        conf = out["cluster_ref"].reshape(b, 1, k)
+        pred = np.argmax(conf * masks[:, None, :], -1)
+        gt_center = np.asarray(arrays["ref_center_label_list"])[:, 0]
+        mean_size = config.dataset.mean_size_arr()
+        cls_ = np.asarray(arrays["ref_size_class_label_list"])[:, 0]
+        res = np.asarray(arrays["ref_size_residual_label_list"])[:, 0]
+        gt_size = mean_size[cls_] + res
+        for i in range(min(b, len(batch["scene_id"]))):
+            j = int(pred[i, 0])
+            pb = get_3d_box(out["pred_size"][i, j], 0.0,
+                            out["pred_center"][i, j])
+            gb = get_3d_box(gt_size[i], 0.0, gt_center[i])
+            iou = box3d_iou(np.asarray(pb), np.asarray(gb))
+            ious.append(float(iou[0] if isinstance(iou, tuple) else iou))
+    ious = np.asarray(ious)
+    return {
+        "status": "ok",
+        "n": int(ious.size),
+        "acc_at_025": float((ious >= 0.25).mean()),
+        "acc_at_05": float((ious >= 0.5).mean()),
+        "mean_iou": float(ious.mean()),
+        "note": "random weights unless --model_dir given",
+    }
+
+
+def check_caption_smoke(args, env) -> dict:
+    if args.no_caption:
+        return {"status": "skipped", "reason": "--no_caption"}
+    import numpy as np
+
+    from vlp3d.data.dataset import BatchIterator
+    from vlp3d.data.tokenizer import load_tokenizer
+    from vlp3d.eval.capeval import Bleu, Cider, Meteor, Rouge
+
+    ds, model, state, infer, config, anns = env
+    tok = load_tokenizer(os.path.join(args.bert_dir, "vocab.txt")
+                         if args.bert_dir else None)
+    import jax
+
+    from vlp3d.models.caption import CaptionDecoder, greedy_decode
+
+    batch = next(iter(BatchIterator(ds, 2, drop_last=False)))
+    arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+
+    @jax.jit
+    def feats_fn(params, batch_stats, b):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, b, train=False
+        )
+        return out["aggregated_vote_features"]
+
+    feats = np.asarray(
+        feats_fn(state.params, state.batch_stats, arrays))
+    b = feats.shape[0]
+    decoder = CaptionDecoder(
+        vocab_size=config.model.vocab_size,
+        max_len=config.model.max_des_len + 2,
+    )
+    cap_vars = {"params": state.params["caption"]}
+    # one caption per scene chunk: decode from the first proposal's
+    # feature (smoke — the full NMS+IoU-matched pipeline is
+    # vlp3d-caption-predict / vlp3d-caption-eval)
+    obj_token = feats[:, :1, :]
+    toks = np.asarray(
+        greedy_decode(decoder, cap_vars, obj_token,
+                      config.model.max_des_len))
+    gts, res = {}, {}
+    for i, ann in enumerate(anns[: toks.shape[0]]):
+        key = f"{ann['scene_id']}|{ann['object_id']}"
+        desc = ann.get("description") or " ".join(ann.get("token", []))
+        gts.setdefault(key, []).append(" ".join(str(desc).lower().split()))
+        if key not in res:
+            res[key] = [tok.decode(toks[i])]
+    metrics = {}
+    for name, scorer in (("bleu4", Bleu(4)), ("cider", Cider()),
+                         ("rouge", Rouge()), ("meteor", Meteor())):
+        score, _ = scorer.compute_score(gts, res)
+        if isinstance(score, (list, tuple)):
+            score = score[-1]
+        metrics[name] = float(score)
+    finite = all(np.isfinite(v) for v in metrics.values())
+    return {"status": "ok" if finite else "fail", "metrics": metrics,
+            "note": "random weights unless --model_dir given"}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="asset-gated validation runbook (see module doc)")
+    p.add_argument("--bert_dir", default="",
+                   help="HF bert-base-uncased dir (vocab.txt + "
+                        "pytorch_model.bin | model.safetensors)")
+    p.add_argument("--scannet_data", default="",
+                   help="preprocessed scenes ({scene}_preprocess_*.npy)")
+    p.add_argument("--scanrefer_dir", default="",
+                   help="dir with ScanRefer_filtered_{split}.json")
+    p.add_argument("--labels_tsv", default="")
+    p.add_argument("--mean_size_npz", default="")
+    p.add_argument("--model_dir", default="",
+                   help="trained vlp3d checkpoint dir (optional)")
+    p.add_argument("--scene_id", default="")
+    p.add_argument("--split", default="val")
+    p.add_argument("--num_points", type=int, default=40000)
+    p.add_argument("--num_proposals", type=int, default=256)
+    p.add_argument("--max_annotations", type=int, default=8)
+    p.add_argument("--no_caption", action="store_true")
+    p.add_argument("--out", default="validate_report.json")
+    args = p.parse_args(argv)
+
+    from vlp3d.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    checks = {}
+
+    def run(name, fn, *a):
+        try:
+            checks[name] = fn(*a)
+        except Exception as exc:  # noqa: BLE001 - report, don't die
+            checks[name] = {
+                "status": "fail", "error": repr(exc),
+                "traceback": traceback.format_exc()[-1500:],
+            }
+
+    run("tokenizer_golden", check_tokenizer_golden, args)
+    run("bert_weight_import", check_bert_weight_import, args)
+    run("scene_cache", check_scene_cache, args)
+
+    env = None
+    if (args.scannet_data and args.scanrefer_dir
+            and _scene_id(args) is not None):
+        try:
+            env = _build_predict_env(args)
+        except Exception as exc:  # noqa: BLE001
+            checks["predict_contract"] = {
+                "status": "fail", "error": repr(exc),
+                "traceback": traceback.format_exc()[-1500:],
+            }
+    if env is not None:
+        run("predict_contract", check_predict_contract, args, env)
+        run("grounding_acc", check_grounding_acc, args, env)
+        run("caption_smoke", check_caption_smoke, args, env)
+    else:
+        for name in ("predict_contract", "grounding_acc", "caption_smoke"):
+            checks.setdefault(name, {
+                "status": "skipped",
+                "reason": "needs --scannet_data and --scanrefer_dir",
+            })
+
+    ok = all(c["status"] != "fail" for c in checks.values())
+    report = {"ok": ok, "checks": checks}
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    summary = " ".join(
+        f"{name}={c['status']}" for name, c in checks.items())
+    print(f"vlp3d-validate: {'OK' if ok else 'FAIL'} ({summary}) "
+          f"-> {args.out}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

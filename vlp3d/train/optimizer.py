@@ -65,12 +65,31 @@ def scale_by_amsgrad_torch(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def label_params(params) -> dict:
-    """'module' for top-level submodules in MODULE_LR_GROUPS, else 'base'."""
-    return {
-        k: ("module" if k in MODULE_LR_GROUPS else "base")
-        for k in params.keys()
-    }
+# param subtrees the model freezes with stop_gradient (frozen BERT text
+# encoder, lang_bert_module.py:84-95 / models/bert.py freeze_bert). torch
+# excludes requires_grad=False params from every param group
+# (script_utils.py:14-16), so they see NEITHER updates NOR decoupled
+# weight decay; with optax the zero grads alone would still let adamw's
+# add_decayed_weights shrink them every step — these prefixes are mapped
+# to optax.set_to_zero() instead.
+FROZEN_PREFIXES: tuple = (("lang", "text_encoder"),)
+
+
+def label_params(params, single_group: bool = False):
+    """Label pytree: 'frozen' under FROZEN_PREFIXES, 'module' for
+    top-level submodules in MODULE_LR_GROUPS (multi-group mode), else
+    'base'."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    labels = []
+    for path, _ in flat:
+        keys = tuple(getattr(k, "key", str(k)) for k in path)
+        if any(keys[: len(p)] == p for p in FROZEN_PREFIXES):
+            labels.append("frozen")
+        elif not single_group and keys and keys[0] in MODULE_LR_GROUPS:
+            labels.append("module")
+        else:
+            labels.append("base")
+    return jax.tree_util.tree_unflatten(treedef, labels)
 
 
 def make_optimizer(
@@ -140,13 +159,12 @@ def make_optimizer(
             weight_decay=weight_decay,
         )
 
-    if single_group:
-        tx = core(base_lr)
-    else:
-        tx = optax.multi_transform(
-            {"base": core(base_lr), "module": core(module_lr)},
-            label_params,
-        )
+    transforms = {"base": core(base_lr), "frozen": optax.set_to_zero()}
+    if not single_group:
+        transforms["module"] = core(module_lr)
+    tx = optax.multi_transform(
+        transforms, lambda p: label_params(p, single_group)
+    )
     if clip_grad_value and clip_grad_value > 0:
         tx = optax.chain(optax.clip(clip_grad_value), tx)
     return tx
