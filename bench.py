@@ -194,7 +194,7 @@ def _run_suite():
 
     sweep("", ["--bench", "all"], timeout=1500)
     sweep("serving_b16_", ["--bench", "grounding", "--batch", "16"],
-          timeout=300)
+          timeout=900)
     return suite
 
 

@@ -88,6 +88,23 @@ def _write_scene_assets(scannet_data, rng, stale=False):
     np.save(scannet_data / f"{SCENE}_aligned_bbox.npy", bboxes)
 
 
+def _write_scanqa(scanqa_dir):
+    qa = [
+        {
+            "scene_id": SCENE, "question_id": f"val-{SCENE}-{k}",
+            "question": q, "answers": a,
+            "object_ids": [0], "object_names": ["chair"],
+        }
+        for k, (q, a) in enumerate([
+            ("what color is the chair", ["brown"]),
+            ("where is the table", ["next to the chair", "center"]),
+            ("how many chairs are there", ["2"]),
+        ])
+    ]
+    with open(scanqa_dir / "ScanQA_v1.0_val.json", "w") as f:
+        json.dump(qa, f)
+
+
 def _write_scanrefer(scanrefer_dir):
     anns = [
         {
@@ -109,11 +126,12 @@ def _write_scanrefer(scanrefer_dir):
 def assets(tmp_path_factory):
     rng = np.random.default_rng(7)
     tmp = tmp_path_factory.mktemp("validate_assets")
-    for d in ("bert", "scannet_data", "scanrefer"):
+    for d in ("bert", "scannet_data", "scanrefer", "scanqa"):
         (tmp / d).mkdir()
     _write_bert_assets(tmp / "bert", rng)
     _write_scene_assets(tmp / "scannet_data", rng)
     _write_scanrefer(tmp / "scanrefer")
+    _write_scanqa(tmp / "scanqa")
     return tmp
 
 
@@ -124,6 +142,7 @@ def test_validate_all_checks_ok(assets, tmp_path):
         "--bert_dir", str(assets / "bert"),
         "--scannet_data", str(assets / "scannet_data"),
         "--scanrefer_dir", str(assets / "scanrefer"),
+        "--scanqa_dir", str(assets / "scanqa"),
         "--num_points", "512",
         "--num_proposals", "16",
         "--out", str(out),
@@ -132,7 +151,8 @@ def test_validate_all_checks_ok(assets, tmp_path):
     assert rc == 0, report
     assert report["ok"], report
     for name in ("tokenizer_golden", "bert_weight_import", "scene_cache",
-                 "predict_contract", "grounding_acc", "caption_smoke"):
+                 "predict_contract", "grounding_acc", "caption_smoke",
+                 "vqa_smoke"):
         assert report["checks"][name]["status"] == "ok", (
             name, report["checks"][name])
     # contract details
@@ -152,6 +172,8 @@ def test_validate_all_checks_ok(assets, tmp_path):
     assert 0.0 <= acc["acc_at_025"] <= 1.0 and acc["n"] > 0
     for v in report["checks"]["caption_smoke"]["metrics"].values():
         assert np.isfinite(v)
+    vqa = report["checks"]["vqa_smoke"]
+    assert vqa["questions"] == 3 and 0.0 <= vqa["em_at_1"] <= 1.0
 
 
 def test_validate_skips_without_assets(tmp_path):

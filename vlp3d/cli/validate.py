@@ -23,6 +23,8 @@ machine-readable report:
   caption_smoke        greedy decode -> detokenized strings -> BLEU-4/
                        CIDEr/ROUGE-L/METEOR vs the scene's GT
                        descriptions (finite-metric smoke)
+  vqa_smoke            one-scene ScanQA questions through the answer
+                       head -> EM@1/@10 (train_qa.py contract)
 
 Each check reports ok / fail / skipped(+reason). Exit code 1 iff any
 non-skipped check fails. Reference contracts: run.sh:1,
@@ -421,6 +423,92 @@ def check_caption_smoke(args, env) -> dict:
             "note": "random weights unless --model_dir given"}
 
 
+def check_vqa_smoke(args) -> dict:
+    """ScanQA answer head EM@1/@10 smoke: one-scene questions through
+    JointNet(use_answer=True) (train_qa.py contract; random weights
+    unless --model_dir)."""
+    qa_path = os.path.join(
+        args.scanqa_dir, f"ScanQA_v1.0_{args.split}.json")
+    if not args.scanqa_dir or not os.path.exists(qa_path):
+        return {"status": "skipped",
+                "reason": f"no --scanqa_dir/ScanQA_v1.0_{args.split}.json"}
+    scene = _scene_id(args)
+    if scene is None:
+        return {"status": "skipped", "reason": "no --scannet_data scenes"}
+    import jax
+    import numpy as np
+
+    from vlp3d.config import Config, DatasetConfig, ModelConfig
+    from vlp3d.data.dataset import BatchIterator, DirectorySceneSource
+    from vlp3d.data.tokenizer import load_tokenizer
+    from vlp3d.data.vqa_dataset import ScanQADataset, build_answer_vocab
+    from vlp3d.eval.vqa import answer_accuracy
+    from vlp3d.models.jointnet import JointNet
+    from vlp3d.train import checkpoint as ckpt
+    from vlp3d.train.optimizer import make_optimizer
+    from vlp3d.train.state import create_state
+
+    with open(qa_path) as f:
+        qa = [q for q in json.load(f) if q["scene_id"] == scene]
+    qa = qa[: args.max_annotations]
+    if not qa:
+        return {"status": "skipped",
+                "reason": f"no ScanQA questions for scene {scene}"}
+    vocab, _ = build_answer_vocab(qa)
+
+    pc = DirectorySceneSource(args.scannet_data)(
+        scene, args.split)["point_cloud"]
+    config = Config(
+        dataset=DatasetConfig(num_points=args.num_points,
+                              mean_size_path=args.mean_size_npz or None),
+        model=ModelConfig(
+            input_feature_dim=pc.shape[1] - 3 + 1,
+            num_proposal=args.num_proposals, no_caption=True,
+            use_con=False, use_answer=True, lang_num_max=1,
+            num_answers=max(len(vocab), 1),
+        ),
+    )
+    ds = ScanQADataset(
+        qa, DirectorySceneSource(args.scannet_data),
+        load_tokenizer(os.path.join(args.bert_dir, "vocab.txt")
+                       if args.bert_dir else None),
+        answer_vocab=vocab, num_answers=max(len(vocab), 1),
+        split=args.split, num_points=config.dataset.num_points,
+        lang_num_max=1, use_height=True,
+        mean_size_arr=config.dataset.mean_size_arr(),
+        bert_max_len=config.model.bert_seq_len, seed=0,
+    )
+    model = JointNet(config)
+    batch = next(iter(BatchIterator(ds, min(4, len(ds)),
+                                    drop_last=False)))
+    arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+    state = create_state(model, make_optimizer(), arrays, 0)
+    if args.model_dir:
+        snap = ckpt.load_params(args.model_dir, "model")
+        state = state.replace(
+            params=snap["params"],
+            batch_stats=snap.get("batch_stats", state.batch_stats),
+        )
+
+    @jax.jit
+    def infer(params, batch_stats, b):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, b, train=False
+        )
+        return out["answer_scores"]
+
+    scores = infer(state.params, state.batch_stats, arrays)
+    cats = np.asarray(arrays["answer_cats"]).reshape(scores.shape[0], -1)
+    k = min(10, scores.shape[-1])
+    acc1, acck = answer_accuracy(scores, cats, topk=k)
+    acc1, acck = float(acc1), float(acck)
+    ok = np.isfinite(acc1) and np.isfinite(acck)
+    return {"status": "ok" if ok else "fail",
+            "questions": len(qa), "answers": len(vocab),
+            "em_at_1": acc1, f"em_at_{k}": acck,
+            "note": "random weights unless --model_dir given"}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="asset-gated validation runbook (see module doc)")
@@ -431,6 +519,8 @@ def main(argv=None):
                    help="preprocessed scenes ({scene}_preprocess_*.npy)")
     p.add_argument("--scanrefer_dir", default="",
                    help="dir with ScanRefer_filtered_{split}.json")
+    p.add_argument("--scanqa_dir", default="",
+                   help="dir with ScanQA_v1.0_{split}.json")
     p.add_argument("--labels_tsv", default="")
     p.add_argument("--mean_size_npz", default="")
     p.add_argument("--model_dir", default="",
@@ -462,6 +552,7 @@ def main(argv=None):
     run("tokenizer_golden", check_tokenizer_golden, args)
     run("bert_weight_import", check_bert_weight_import, args)
     run("scene_cache", check_scene_cache, args)
+    run("vqa_smoke", check_vqa_smoke, args)
 
     env = None
     if (args.scannet_data and args.scanrefer_dir
