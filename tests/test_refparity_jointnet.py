@@ -126,143 +126,13 @@ def build_ref_jointnet(torch, tmp, *, input_feature_dim, num_proposal,
     return ref, dc
 
 
-def _mha(sd, prefix):
-    return {"fc_q": lin(sd, prefix + ".attention.fc_q"),
-            "fc_k": lin(sd, prefix + ".attention.fc_k"),
-            "fc_v": lin(sd, prefix + ".attention.fc_v"),
-            "fc_o": lin(sd, prefix + ".attention.fc_o"),
-            "LayerNorm_0": ln(sd, prefix + ".layer_norm")}
-
-
-def _cadl(sd, prefix):
-    return {"self_attention": _mha(sd, prefix + ".self_attention"),
-            "enc_dec_attention": _mha(sd, prefix + ".enc_dec_attention"),
-            "ffn": {"Dense_0": lin(sd, prefix + ".ffn.linear1"),
-                    "Dense_1": lin(sd, prefix + ".ffn.linear2")},
-            "LayerNorm_0": ln(sd, prefix + ".norm")}
-
-
-def _prelu(sd, name, channels):
-    w = sd[name + ".weight"].numpy()
-    return {"alpha": jnp.asarray(np.broadcast_to(w, (channels,)).copy())}
-
-
-def _attflat(sd, prefix):
-    p = prefix + "." if prefix else ""
-    return {"Dense_0": lin(sd, p + "mlp.fc.linear"),
-            "Dense_1": lin(sd, p + "mlp.linear"),
-            "linear_merge": lin(sd, p + "linear_merge")}
+# the full state-dict mapping is PRODUCT code; using it here makes the
+# direct-parity forward below validate the production importer
+from vlp3d.models.torch_import import import_jointnet_state_dict
 
 
 def _import_jointnet(sd):
-    params: dict = {}
-    stats: dict = {}
-
-    # backbone
-    bp, bs = {}, {}
-    for sa in ("sa1", "sa2", "sa3", "sa4"):
-        bp[sa], bs[sa] = import_sa(sd, f"backbone_net.{sa}")
-    for fp in ("fp1", "fp2"):
-        pm, sm = import_point_mlp(sd, f"backbone_net.{fp}.mlp", range(2))
-        bp[fp] = {"PointMLP_0": pm}
-        bs[fp] = {"PointMLP_0": sm}
-    params["backbone_net"], stats["backbone_net"] = bp, bs
-
-    # voting
-    vp, vs = {}, {}
-    for i, (conv, bnn) in enumerate((("conv1", "bn1"), ("conv2", "bn2"))):
-        vp[f"Dense_{i}"] = dense(sd, f"vgen.{conv}")
-        vp[f"BatchNorm_{i}"], vs[f"BatchNorm_{i}"] = bn(sd, f"vgen.{bnn}")
-    vp["Dense_2"] = dense(sd, "vgen.conv3")
-    params["vgen"], stats["vgen"] = vp, vs
-
-    # proposal (vote-weight predictor + aggregation SA + ROI heads)
-    pp, ps = {}, {}
-    pp["Dense_0"] = dense(sd, "proposal.votes_weight_predictor.0")
-    pp["BatchNorm_0"], ps["BatchNorm_0"] = bn(
-        sd, "proposal.votes_weight_predictor.1")
-    pp["PReLU_0"] = _prelu(sd, "proposal.votes_weight_predictor.2", 128)
-    pp["Dense_1"] = dense(sd, "proposal.votes_weight_predictor.3")
-    pp["vote_aggregation"], ps["vote_aggregation"] = import_sa(
-        sd, "proposal.vote_aggregation")
-    rp, rs = {}, {}
-    rp["Dense_0"] = dense(sd, "proposal.proposal.convs.0")
-    rp["BatchNorm_0"], rs["BatchNorm_0"] = bn(sd, "proposal.proposal.convs.1")
-    rp["Dense_1"] = dense(sd, "proposal.proposal.convs.3")
-    rp["BatchNorm_1"], rs["BatchNorm_1"] = bn(sd, "proposal.proposal.convs.4")
-    rp["Dense_2"] = dense(sd, "proposal.proposal.objectness_predictor")
-    rp["Dense_3"] = dense(sd, "proposal.proposal.box_predictor")
-    rp["Dense_4"] = dense(sd, "proposal.proposal.heading_cls_predictor")
-    rp["Dense_5"] = dense(sd, "proposal.proposal.heading_reg_predictor")
-    rp["Dense_6"] = dense(sd, "proposal.proposal.sem_cls_predictor")
-    rp["Dense_7"] = dense(sd, "proposal.proposal.alpha_predictor")
-    pp["roi_heads"], ps["roi_heads"] = rp, rs
-    params["proposal"], stats["proposal"] = pp, ps
-
-    # relation
-    rp, rs = {}, {}
-    rp["Dense_0"] = dense(sd, "relation.features_concat.0")
-    rp["BatchNorm_0"], rs["BatchNorm_0"] = bn(sd, "relation.features_concat.1")
-    rp["PReLU_0"] = _prelu(sd, "relation.features_concat.2", 128)
-    rp["Dense_1"] = dense(sd, "relation.features_concat.3")
-    for i in range(2):
-        for j, idx in enumerate((0, 3, 6)):
-            rp[f"attn_fc{i}_{j}"] = lin(sd, f"relation.self_attn_fc.{i}.{idx}")
-        for j, idx in enumerate((2, 5)):
-            rp[f"attn_ln{i}_{j}"] = ln(sd, f"relation.self_attn_fc.{i}.{idx}")
-        rp[f"self_attn_{i}"] = _mha(sd, f"relation.self_attn.{i}")
-        rp[f"obj_embedding_{i}"] = lin(sd, f"relation.obj_embedding.{i}")
-        rp[f"bbox_embedding_{i}"] = lin(sd, f"relation.bbox_embedding.{i}")
-    params["relation"], stats["relation"] = rp, rs
-
-    # language branch: xbert text layers + proj + lang classifier
-    lp = {"text_encoder": import_xbert_text(
-        sd, 6, prefix="lang.text_encoder.bert.")}
-    lp["proj"] = lin(sd, "lang.proj")
-    lp["lang_cls"] = lin(sd, "lang.lang_cls.0")
-    params["lang"] = lp
-
-    # match
-    mp, ms = {}, {}
-    for i, idx in enumerate((0, 3, 6)):
-        mp[f"Dense_{i}"] = lin(sd, f"match.match.{idx}")
-    mp["Dense_3"] = dense(sd, "match.lang_emb_proj.0")
-    mp["BatchNorm_0"], ms["BatchNorm_0"] = bn(sd, "match.lang_emb_proj.1")
-    mp["prelu0"] = _prelu(sd, "match.lang_emb_proj.2", 128)
-    mp["Dense_4"] = dense(sd, "match.lang_emb_proj.3")
-    mp["BatchNorm_1"], ms["BatchNorm_1"] = bn(sd, "match.lang_emb_proj.4")
-    mp["prelu1"] = _prelu(sd, "match.lang_emb_proj.5", 128)
-    mp["Dense_5"] = dense(sd, "match.lang_emb_proj.6")
-    mp["Dense_6"] = lin(sd, "match.reg_head.0")
-    mp["BatchNorm_2"], ms["BatchNorm_2"] = bn(sd, "match.reg_head.1")
-    mp["Dense_7"] = lin(sd, "match.reg_head.3")
-    mp["BatchNorm_3"], ms["BatchNorm_3"] = bn(sd, "match.reg_head.4")
-    mp["Dense_8"] = lin(sd, "match.reg_head.6")
-    for i in range(2):
-        mp[f"grounding_cross_attn_{i}"] = _cadl(
-            sd, f"match.grounding_cross_attn.{i}")
-    mp["lang_emb_cross_attn"] = _mha(sd, "match.lang_emb_cross_attn")
-    params["match"], stats["match"] = mp, ms
-
-    # contrast
-    params["constrast"] = {
-        "pc_proj": {"kernel": jnp.asarray(
-            sd["constrast.pc_proj.weight"].numpy().T)},
-        "text_proj": {"kernel": jnp.asarray(
-            sd["constrast.text_proj.weight"].numpy().T)},
-        "pc_proj_iou": {"kernel": jnp.asarray(
-            sd["constrast.pc_proj_iou.0.weight"].numpy().T)},
-        "tau": jnp.asarray(sd["constrast.nce_loss.tau"].numpy()),
-    }
-
-    # answer head (only when the reference was built with use_answer)
-    if "answer.answer_cls.0.weight" in sd:
-        params["answer"] = {
-            "attflat_visual": _attflat(sd, "answer.attflat_visual"),
-            "Dense_0": lin(sd, "answer.answer_cls.0"),
-            "Dense_1": lin(sd, "answer.answer_cls.3"),
-        }
-    return params, stats
+    return import_jointnet_state_dict(sd, fusion_layer=6)
 
 
 def test_jointnet_forward(ref_jointnet, rng):
@@ -382,3 +252,48 @@ def test_jointnet_forward(ref_jointnet, rng):
         rtol=5e-3)
     np.testing.assert_allclose(
         float(out["iou_con_loss"]), float(td["iou_con_loss"]), rtol=5e-3)
+
+
+def test_import_torch_cli_roundtrip(ref_jointnet, tmp_path):
+    """vlp3d-import-torch on a saved reference checkpoint reproduces the
+    direct in-process import bit-for-bit, for both the bare .pth and the
+    checkpoint.tar flavors (train_3dvlp.py:160-171)."""
+    import torch
+
+    from vlp3d.cli.import_torch import main as import_main
+    from vlp3d.train.checkpoint import load_params
+
+    ref, _ = ref_jointnet
+    want_p, want_s = _import_jointnet(ref.state_dict())
+
+    pth = tmp_path / "model_last.pth"
+    torch.save(ref.state_dict(), pth)
+    tar = tmp_path / "checkpoint.tar"
+    torch.save({"epoch": 7, "model_state_dict": ref.state_dict(),
+                "optimizer_state_dict": {}, "best": {}}, tar)
+
+    for src_path, name in ((pth, "from_pth"), (tar, "from_tar")):
+        out = tmp_path / f"out_{name}"
+        rc = import_main(["--checkpoint", str(src_path),
+                          "--out", str(out), "--name", "model"])
+        assert rc == 0
+        snap = load_params(str(out), "model")
+        got_p, got_s = snap["params"], snap["batch_stats"]
+        flat_want = jax.tree_util.tree_flatten_with_path(want_p)[0]
+        flat_got = {
+            jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_flatten_with_path(got_p)[0]
+        }
+        assert len(flat_want) == len(flat_got)
+        for path, v in flat_want:
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(flat_got[jax.tree_util.keystr(path)]),
+                err_msg=jax.tree_util.keystr(path))
+        for path, v in jax.tree_util.tree_flatten_with_path(want_s)[0]:
+            key = jax.tree_util.keystr(path)
+            got = {
+                jax.tree_util.keystr(k): vv
+                for k, vv in jax.tree_util.tree_flatten_with_path(got_s)[0]
+            }[key]
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(got),
+                                          err_msg=key)
