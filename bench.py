@@ -42,6 +42,7 @@ STREAM_LEN = 8  # batches per scan dispatch
 
 
 def main():
+    t_start = time.perf_counter()
     batch_size = 8
     num_points = 40960
     config = Config(
@@ -155,13 +156,13 @@ def main():
                 "backend": jax.default_backend(),
                 # full perf suite (training/captioning/serving included)
                 # so regressions outside the headline are driver-visible
-                "suite": _run_suite(),
+                "suite": _run_suite(t_start),
             }
         )
     )
 
 
-def _run_suite():
+def _run_suite(t_start):
     """Best-effort benchmarks/run.py sweep (sa_stack / detection /
     grounding / captioning / joint_train at canonical batch 8, plus the
     batch-16 serving point) in watchdogged subprocesses — a hang or
@@ -169,6 +170,14 @@ def _run_suite():
     here = os.path.dirname(os.path.abspath(__file__))
     runner = os.path.join(here, "benchmarks", "run.py")
     suite = {}
+
+    def budget(want):
+        # never let the suite push the inner run past the outer
+        # watchdog: cap each sweep by the wall time remaining out of
+        # ~2500s (outer timeout 2700 minus margin), so the headline
+        # line always prints
+        left = 2500 - (time.perf_counter() - t_start)
+        return max(30, min(want, left))
 
     def sweep(tag, argv, timeout):
         added = 0
@@ -181,7 +190,10 @@ def _run_suite():
                 line = line.strip()
                 if not line.startswith("{"):
                     continue
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # diagnostic line that merely looks like JSON
                 name = rec.pop("benchmark", tag)
                 suite[f"{tag}{name}" if tag else name] = rec
                 added += 1
@@ -192,9 +204,9 @@ def _run_suite():
         except Exception as exc:  # noqa: BLE001 - suite is best-effort
             suite[tag or "all"] = {"error": repr(exc)}
 
-    sweep("", ["--bench", "all"], timeout=1500)
+    sweep("", ["--bench", "all"], timeout=budget(1500))
     sweep("serving_b16_", ["--bench", "grounding", "--batch", "16"],
-          timeout=900)
+          timeout=budget(900))
     return suite
 
 

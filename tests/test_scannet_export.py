@@ -173,3 +173,19 @@ class TestPreprocessLayoutCheck:
 
         check_preprocess_layout(
             rng.normal(size=(100, 6)).astype(np.float32))  # ambiguous: skip
+
+    def test_color_multiview_cache_with_dead_channels_accepted(self, rng):
+        """[xyz, color, multiview] is also width 134; dead (all-zero)
+        trailing ENet channels must not read as 'normals at the end'
+        (code-review r3 finding)."""
+        from vlp3d.data.scannet import MEAN_COLOR_RGB, check_preprocess_layout
+
+        n = 500
+        xyz = rng.normal(size=(n, 3)).astype(np.float32)
+        color = ((rng.uniform(0, 255, (n, 3)) - MEAN_COLOR_RGB) / 256.0
+                 ).astype(np.float32)
+        mv = rng.normal(0, 2.0, (n, 128)).astype(np.float32)
+        mv[:, -3:] = 0.0  # dead post-ReLU channels
+        pc = np.concatenate([xyz, color, mv], 1)
+        assert pc.shape[1] == 134
+        check_preprocess_layout(pc)  # no raise

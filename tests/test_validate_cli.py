@@ -70,8 +70,6 @@ def _write_scene_assets(scannet_data, rng, stale=False):
     normals = rng.normal(size=(n, 3)).astype(np.float32)
     normals /= np.linalg.norm(normals, axis=1, keepdims=True)
     mv = rng.normal(0, 2, (n, 128)).astype(np.float32)
-    blocks = [xyz, mv, normals] if stale else [xyz, normals, mv]
-    pc = np.concatenate(blocks, axis=1)
     ins = np.zeros(n, np.int64)
     sem = np.full(n, 3, np.int64)
     bboxes = np.zeros((2, 8), np.float64)
@@ -82,6 +80,10 @@ def _write_scene_assets(scannet_data, rng, stale=False):
         xyz[sl] = c + rng.uniform(-0.5, 0.5, (400, 3)) * s
         ins[sl] = k + 1
         bboxes[k] = [*c, *s, 3 if k == 0 else 4, k]
+    # concatenate AFTER the cluster writes so the saved cloud contains
+    # the instances its labels/bboxes describe
+    blocks = [xyz, mv, normals] if stale else [xyz, normals, mv]
+    pc = np.concatenate(blocks, axis=1)
     np.save(scannet_data / f"{SCENE}_preprocess_val.npy", pc)
     np.save(scannet_data / f"{SCENE}_ins_label.npy", ins)
     np.save(scannet_data / f"{SCENE}_sem_label.npy", sem)

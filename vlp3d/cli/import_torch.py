@@ -45,6 +45,12 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     save_params(args.out, args.name, params, stats)
+    # orbax commits asynchronously; join before reporting success so a
+    # failed background commit can't leave the user with exit 0 and a
+    # missing checkpoint
+    from vlp3d.train.checkpoint import wait_until_finished
+
+    wait_until_finished()
 
     import jax
 

@@ -104,9 +104,10 @@ def check_tokenizer_golden(args) -> dict:
         hf = BertTokenizer(vocab, do_lower_case=True)
     except Exception as exc:  # pragma: no cover - transformers missing
         enc = ours(sentences, max_length=50)
-        return {"status": "ok",
-                "detail": f"round-trip only (no HF oracle: {exc!r})",
-                "nonzero_tokens": int(enc["attention_mask"].sum())}
+        assert int(enc["attention_mask"].sum()) > len(sentences) * 2
+        return {"status": "skipped",
+                "reason": f"no HF oracle ({exc!r}); round-trip sanity "
+                          "only — golden comparison did not run"}
     mismatches = []
     for s in sentences:
         want = hf(s, padding="max_length", truncation=True,
@@ -220,10 +221,10 @@ def _build_predict_env(args):
     if not anns:
         raise ValueError(f"no ScanRefer annotations for scene {scene}")
 
+    source = DirectorySceneSource(
+        args.scannet_data)  # shared: its cache memoizes the scene load
     # derive input channels from the cache so stand-in assets work
-    from vlp3d.data.dataset import DirectorySceneSource as DSS
-
-    pc = DSS(args.scannet_data)(scene, args.split)["point_cloud"]
+    pc = source(scene, args.split)["point_cloud"]
     extra = pc.shape[1] - 3 + 1  # +height appended by the dataset
     config = Config(
         dataset=DatasetConfig(
@@ -240,7 +241,7 @@ def _build_predict_env(args):
     )
     ds = ScanReferJointDataset(
         anns,
-        DirectorySceneSource(args.scannet_data),
+        source,
         load_tokenizer(os.path.join(args.bert_dir, "vocab.txt")
                        if args.bert_dir else None),
         split=args.split,

@@ -409,11 +409,20 @@ def check_preprocess_layout(point_cloud: np.ndarray, path: str = "") -> None:
     else:
         return
 
-    def unit_frac(block):
+    def unit_or_zero_frac(block):
         n = np.linalg.norm(block, axis=1)
         return float(np.mean((np.abs(n - 1.0) < 0.05) | (n < 1e-6)))
 
-    if unit_frac(expect) < 0.5 and unit_frac(point_cloud[:, -3:]) > 0.9:
+    def strictly_unit_frac(block):
+        # zero rows deliberately NOT counted: dead post-ReLU multiview
+        # channels are all-zero and must not pass as "normals" (a valid
+        # [xyz, color, multiview] width-134 cache would otherwise be
+        # rejected when its trailing ENet channels are dead)
+        n = np.linalg.norm(block, axis=1)
+        return float(np.mean(np.abs(n - 1.0) < 0.05))
+
+    if (unit_or_zero_frac(expect) < 0.5
+            and strictly_unit_frac(point_cloud[:, -3:]) > 0.9):
         raise ValueError(
             f"stale preprocess cache {path or '(array)'}: normals found in "
             "the trailing columns (old fuse order [xyz, color?, multiview, "
