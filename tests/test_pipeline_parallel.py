@@ -20,6 +20,7 @@ from vlp3d.parallel.pipeline import (
     build_pipeline,
     pipeline_text_encoder,
     stack_text_layer_params,
+    stack_text_layer_params_sharded,
     unstack_text_layer_params,
 )
 
@@ -122,6 +123,29 @@ def test_gradients_match_sequential(setup):
     )
 
 
+def test_sharded_stack_matches_and_places(setup):
+    """Per-stage assembly must equal the plain stack, with each leaf
+    sharded P('pipe') (no full copy on any single device)."""
+    _, params, _, _, _ = setup
+    mesh = _mesh(pp=4)
+    plain = stack_text_layer_params(params, CFG.fusion_layer)
+    sharded = stack_text_layer_params_sharded(mesh, params, CFG.fusion_layer)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        sharded,
+        plain,
+    )
+    leaf = jax.tree.leaves(sharded)[0]
+    assert leaf.sharding.spec[0] == PIPE_AXIS
+    # each device holds exactly 1/4 of the stacked leading axis
+    assert all(
+        s.data.shape[0] == CFG.fusion_layer // 4
+        for s in leaf.addressable_shards
+    )
+
+
 def test_bad_shapes_raise(setup):
     _, params, ids, mask, _ = setup
     mesh = _mesh(pp=4)
@@ -132,3 +156,13 @@ def test_bad_shapes_raise(setup):
     stacked = stack_text_layer_params(params, CFG.fusion_layer)
     with pytest.raises(ValueError, match="not divisible"):
         run(stacked, emb, mask)
+    # dp x pp: microbatch size must divide over the data axis
+    mesh2 = _mesh(pp=2, dp=4)
+    run2 = build_pipeline(mesh2, CFG, 4, 4)  # B=8 -> microbatch 2 over dp=4
+    with pytest.raises(ValueError, match="data-axis"):
+        run2(stacked, emb, mask)
+    with pytest.raises(ValueError, match="no 'pipe' axis"):
+        pipeline_text_encoder(
+            Mesh(np.asarray(jax.devices()[:2]), ("data",)), CFG, params,
+            ids, mask,
+        )

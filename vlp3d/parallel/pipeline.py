@@ -46,9 +46,38 @@ def stack_text_layer_params(encoder_params: dict, num_layers: int):
     """Stack ``layer_0 .. layer_{num_layers-1}`` subtrees of a
     BertTextEncoder param dict along a new leading axis (the axis a
     ``pipe`` mesh dim shards).  All text layers share one pytree
-    structure, so this is a plain per-leaf ``jnp.stack``."""
+    structure, so this is a plain per-leaf ``jnp.stack``.
+
+    NOTE: this materializes the full stack on the default device — fine
+    for tests and encoders that fit one chip.  For the
+    too-big-for-one-chip regime use :func:`stack_text_layer_params_sharded`,
+    which builds each stage's slice directly on its stage devices."""
     layers = [encoder_params[f"layer_{i}"] for i in range(num_layers)]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def stack_text_layer_params_sharded(
+    mesh: Mesh, encoder_params: dict, num_layers: int
+):
+    """Like :func:`stack_text_layer_params`, but each device receives
+    ONLY its pipe-stage slice (``jax.make_array_from_callback`` with a
+    ``P('pipe')`` sharding assembles the global stacked array from
+    per-shard pieces) — no full unsharded copy ever exists on any single
+    device, so stage HBM really is 1/n_stages of the encoder."""
+    sharding = NamedSharding(mesh, P(PIPE_AXIS))
+    layers = [encoder_params[f"layer_{i}"] for i in range(num_layers)]
+
+    def make(*leaves):
+        np_leaves = [np.asarray(x) for x in leaves]
+        shape = (num_layers,) + np_leaves[0].shape
+
+        def shard_piece(idx):
+            lo, hi, _ = idx[0].indices(num_layers)
+            return np.stack(np_leaves[lo:hi])
+
+        return jax.make_array_from_callback(shape, sharding, shard_piece)
+
+    return jax.tree.map(make, *layers)
 
 
 def unstack_text_layer_params(stacked) -> dict:
@@ -61,8 +90,19 @@ def unstack_text_layer_params(stacked) -> dict:
     }
 
 
-@functools.lru_cache(maxsize=None)
 def build_pipeline(
+    mesh: Mesh,
+    config: BertConfig,
+    num_layers: int,
+    num_microbatches: int,
+):
+    # normalize to positional before the cache so keyword callers share
+    # the same entry (lru_cache keys kwargs separately)
+    return _build_pipeline_cached(mesh, config, num_layers, num_microbatches)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_pipeline_cached(
     mesh: Mesh,
     config: BertConfig,
     num_layers: int,
@@ -146,10 +186,17 @@ def build_pipeline(
         out_specs=P(None, mb_spec),
     )
 
+    dsize = mesh.shape[DATA_AXIS] if has_data else 1
+
     def run(stacked_params, x, mask):
         b, seq, hidden = x.shape
         if b % M != 0:
             raise ValueError(f"batch {b} not divisible by {M} microbatches")
+        if (b // M) % dsize != 0:
+            raise ValueError(
+                f"microbatch size {b // M} (batch {b} / {M} microbatches) "
+                f"not divisible by the data-axis size {dsize}"
+            )
         xs = x.reshape(M, b // M, seq, hidden)
         masks = mask.astype(x.dtype).reshape(M, b // M, seq)
         out = sharded(stacked_params, xs, masks)
@@ -176,11 +223,11 @@ def pipeline_text_encoder(
     canonical 6-layer frozen BERT fits one chip, so single-chip serving
     does not need this path.
     """
-    stacked = stack_text_layer_params(encoder_params, config.fusion_layer)
-    if PIPE_AXIS in mesh.axis_names:
-        stacked = jax.device_put(
-            stacked, NamedSharding(mesh, P(PIPE_AXIS))
-        )
+    if PIPE_AXIS not in mesh.axis_names:
+        raise ValueError(f"mesh {mesh.axis_names} has no '{PIPE_AXIS}' axis")
+    stacked = stack_text_layer_params_sharded(
+        mesh, encoder_params, config.fusion_layer
+    )
     x = BertEmbeddings(config).apply(
         {"params": encoder_params["embeddings"]}, input_ids
     )
