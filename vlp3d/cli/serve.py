@@ -1,0 +1,107 @@
+"""Online inference server.
+
+The reference has no serving entry point (its predict() is an offline
+pred.json dump, scripts/joint_scripts/train_3dvlp.py:423-538); this CLI
+is the rebuild's production-serving addition: a JSON-over-HTTP endpoint
+(vlp3d/serve.py) with fixed-shape micro-batching in front of the jitted
+streaming predictors.
+
+    vlp3d-serve --task ground --model_dir out/run1 --port 8080
+    curl -s localhost:8080/healthz
+    curl -s -X POST localhost:8080/v1/ground -d \\
+      '{"point_cloud": [[...], ...], "queries": ["the brown chair"]}'
+
+`--smoke` serves the tiny synthetic config with random-init weights
+(no checkpoint needed) — a one-command way to exercise the wire format.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    from vlp3d.cli.common import add_common_args, resolve_config
+
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--task", choices=("ground", "caption", "answer"),
+                   default="ground")
+    p.add_argument("--model_dir", type=str, default="",
+                   help="orbax snapshot dir (vlp3d-train output); "
+                        "random init when empty (smoke only)")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--serve_batch_size", type=int, default=8)
+    p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--vocab_path", type=str, default="",
+                   help="WordPiece vocab.txt (hash tokenizer when empty)")
+    p.add_argument("--answer_vocab", type=str, default="",
+                   help="answer-id -> text json list (answer task)")
+    args = p.parse_args(argv)
+
+    import json
+
+    import jax
+
+    from vlp3d.data.synthetic import make_batch
+    from vlp3d.data.tokenizer import load_tokenizer
+    from vlp3d.models.jointnet import JointNet
+    from vlp3d.serve import InferenceService, make_server
+    from vlp3d.train import checkpoint as ckpt
+    from vlp3d.train.optimizer import make_optimizer
+    from vlp3d.train.state import create_state
+
+    config = resolve_config(args)
+    if args.task == "answer" and not config.model.use_answer:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, use_answer=True)
+        )
+
+    model = JointNet(config)
+    sample = make_batch(
+        config, batch_size=args.serve_batch_size,
+        num_points=config.dataset.num_points,
+    )
+    state = create_state(model, make_optimizer(), sample, config.train.seed)
+    params, batch_stats = state.params, state.batch_stats
+    if args.model_dir:
+        snap = ckpt.load_params(args.model_dir, "model")
+        params = snap["params"]
+        batch_stats = snap.get("batch_stats", batch_stats)
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    answer_vocab = None
+    if args.answer_vocab:
+        with open(args.answer_vocab, encoding="utf-8") as f:
+            answer_vocab = json.load(f)
+
+    service = InferenceService(
+        config,
+        variables,
+        task=args.task,
+        tokenizer=load_tokenizer(args.vocab_path or None),
+        answer_vocab=answer_vocab,
+        batch_size=args.serve_batch_size,
+        max_wait_ms=args.max_wait_ms,
+    )
+    server = make_server(service, host=args.host, port=args.port)
+    print(
+        f"| vlp3d-serve: task={args.task} on "
+        f"http://{args.host}:{server.server_address[1]} "
+        f"(batch {args.serve_batch_size}, {len(jax.devices())} device(s))",
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()
