@@ -234,3 +234,50 @@ def test_microbatcher_pads_and_propagates_errors():
         assert mb.submit({"i": 7})["i"] == 7
     finally:
         mb.close()
+
+
+def test_multi_task_server_shares_checkpoint():
+    """One server hosting all three tasks from one set of variables:
+    per-task routes, aggregate healthz/stats, 404 lists served routes."""
+    config = _with_points(
+        tiny_config(no_caption=False, use_con=False, use_answer=True)
+    )
+    variables = _variables(config, train=True)
+    services = {
+        t: InferenceService(config, variables, task=t, batch_size=BATCH)
+        for t in ("ground", "caption", "answer")
+    }
+    server = make_server(services)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    port = server.server_address[1]
+    try:
+        h = _get(port, "/healthz")
+        assert h["status"] == "ok"
+        assert set(h["tasks"]) == {"ground", "caption", "answer"}
+        assert h["tasks"]["ground"]["num_points"] == NPTS
+
+        pc = _scene(20, channels=3 + config.model.input_feature_dim)
+        g = _post(port, "/v1/ground",
+                  {"point_cloud": pc.tolist(), "queries": ["the bed"]})
+        assert len(g["boxes"]) == 1
+        c = _post(port, "/v1/caption", {"point_cloud": pc.tolist()})
+        assert len(c["proposals"]) == config.model.num_proposal
+        a = _post(port, "/v1/answer",
+                  {"point_cloud": pc.tolist(), "queries": ["how many?"]})
+        assert len(a["answers"]) == 1
+
+        st = _get(port, "/stats")
+        assert set(st) == {"ground", "caption", "answer"}
+        assert all(st[k]["requests"] == 1 for k in st)
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(port, "/v1/detect", {"point_cloud": pc.tolist()})
+        assert ei.value.code == 404
+        msg = json.loads(ei.value.read())["error"]
+        assert "/v1/ground" in msg and "/v1/caption" in msg
+    finally:
+        server.shutdown()
+        server.server_close()
+        for s in services.values():
+            s.close()

@@ -94,3 +94,47 @@ def test_answer_predictor_topk():
     flat = out["answer_scores"].reshape(-1, out["answer_scores"].shape[-1])
     ids = out["answer_top_ids"].reshape(-1, 5)
     np.testing.assert_array_equal(ids[:, 0], np.argmax(flat, -1))
+
+
+def test_mesh_sharded_predictor_matches_single_device():
+    """Data-parallel serving: the same jitted program sharded over the
+    8-device CPU mesh returns the same predictions (weights replicate,
+    the batch axis shards; vlp3d/serving.py mesh= path)."""
+    from vlp3d.parallel.mesh import make_mesh
+
+    config = tiny_config(no_caption=True, use_con=False)
+    model = JointNet(config)
+    b0 = make_batch(config, batch_size=4, num_points=256, istrain=0)
+    variables = jax.jit(
+        lambda b: model.init({"params": jax.random.key(0)}, b, train=False)
+    )(b0)
+
+    mesh = make_mesh(4)
+    plain = GroundingPredictor(config, variables, batch_size=4)
+    sharded = GroundingPredictor(config, variables, batch_size=4, mesh=mesh)
+
+    batches = [
+        {
+            k: np.asarray(
+                make_batch(config, batch_size=4, num_points=256, seed=s)[k]
+            )
+            for k in STREAM_KEYS
+        }
+        for s in range(2)
+    ]
+    # single-batch dispatch and the streamed (lax.scan) dispatch
+    for outs_p, outs_s in (
+        (plain([batches[0]]), sharded([batches[0]])),
+        (plain(batches), sharded(batches)),
+    ):
+        for a, b in zip(outs_p, outs_s):
+            assert np.array_equal(a["pred_ref"], b["pred_ref"])
+            np.testing.assert_allclose(
+                a["pred_center"], b["pred_center"], rtol=1e-5, atol=1e-5
+            )
+
+    # indivisible batch is rejected up front
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        GroundingPredictor(config, variables, batch_size=3, mesh=mesh)

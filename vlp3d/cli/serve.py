@@ -11,13 +11,20 @@ streaming predictors.
     curl -s -X POST localhost:8080/v1/ground -d \\
       '{"point_cloud": [[...], ...], "queries": ["the brown chair"]}'
 
-`--smoke` serves the tiny synthetic config with random-init weights
-(no checkpoint needed) — a one-command way to exercise the wire format.
+`--task` takes one task, a comma-separated subset, or `all`: multiple
+tasks share one checkpoint's weights, each routed at /v1/<task> with its
+own micro-batching queue. `--data_devices N` serves data-parallel over
+an N-device mesh (0 = every local device; the serve batch shards over
+the mesh, weights replicate). `--smoke` serves the tiny synthetic config
+with random-init weights (no checkpoint needed) — a one-command way to
+exercise the wire format.
 """
 
 from __future__ import annotations
 
 import argparse
+
+TASKS = ("ground", "caption", "answer")
 
 
 def main(argv=None):
@@ -25,8 +32,9 @@ def main(argv=None):
 
     p = argparse.ArgumentParser()
     add_common_args(p)
-    p.add_argument("--task", choices=("ground", "caption", "answer"),
-                   default="ground")
+    p.add_argument("--task", type=str, default="ground",
+                   help="one of ground/caption/answer, a comma-separated "
+                        "subset, or 'all' (tasks share the checkpoint)")
     p.add_argument("--model_dir", type=str, default="",
                    help="orbax snapshot dir (vlp3d-train output); "
                         "random init when empty (smoke only)")
@@ -34,12 +42,24 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--serve_batch_size", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--data_devices", type=int, default=1,
+                   help="serve data-parallel over N devices (0 = all); "
+                        "serve_batch_size must be divisible by N")
     p.add_argument("--vocab_path", type=str, default="",
                    help="WordPiece vocab.txt (hash tokenizer when empty)")
     p.add_argument("--answer_vocab", type=str, default="",
                    help="answer-id -> text json list (answer task)")
     args = p.parse_args(argv)
 
+    tasks = TASKS if args.task == "all" else tuple(
+        t.strip() for t in args.task.split(",") if t.strip()
+    )
+    unknown = set(tasks) - set(TASKS)
+    if unknown or not tasks:
+        p.error(f"--task must be a subset of {'/'.join(TASKS)} or 'all'; "
+                f"got {args.task!r}")
+
+    import dataclasses
     import json
 
     import jax
@@ -53,12 +73,21 @@ def main(argv=None):
     from vlp3d.train.state import create_state
 
     config = resolve_config(args)
-    if args.task == "answer" and not config.model.use_answer:
-        import dataclasses
+    # the served tasks decide which heads the model carries
+    config = dataclasses.replace(
+        config,
+        model=dataclasses.replace(
+            config.model,
+            use_answer=config.model.use_answer or "answer" in tasks,
+            no_caption=config.model.no_caption and "caption" not in tasks,
+        ),
+    )
 
-        config = dataclasses.replace(
-            config, model=dataclasses.replace(config.model, use_answer=True)
-        )
+    mesh = None
+    if args.data_devices != 1:
+        from vlp3d.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_devices or None)
 
     model = JointNet(config)
     sample = make_batch(
@@ -78,20 +107,27 @@ def main(argv=None):
         with open(args.answer_vocab, encoding="utf-8") as f:
             answer_vocab = json.load(f)
 
-    service = InferenceService(
-        config,
-        variables,
-        task=args.task,
-        tokenizer=load_tokenizer(args.vocab_path or None),
-        answer_vocab=answer_vocab,
-        batch_size=args.serve_batch_size,
-        max_wait_ms=args.max_wait_ms,
-    )
-    server = make_server(service, host=args.host, port=args.port)
+    tokenizer = load_tokenizer(args.vocab_path or None)
+    services = {
+        task: InferenceService(
+            config,
+            variables,
+            task=task,
+            tokenizer=tokenizer,
+            answer_vocab=answer_vocab,
+            batch_size=args.serve_batch_size,
+            max_wait_ms=args.max_wait_ms,
+            mesh=mesh,
+        )
+        for task in tasks
+    }
+    server = make_server(services, host=args.host, port=args.port)
+    routes = ", ".join(f"/v1/{t}" for t in tasks)
     print(
-        f"| vlp3d-serve: task={args.task} on "
+        f"| vlp3d-serve: {routes} on "
         f"http://{args.host}:{server.server_address[1]} "
-        f"(batch {args.serve_batch_size}, {len(jax.devices())} device(s))",
+        f"(batch {args.serve_batch_size}, "
+        f"{mesh.size if mesh is not None else 1} device(s))",
         flush=True,
     )
     try:
@@ -100,7 +136,8 @@ def main(argv=None):
         pass
     finally:
         server.server_close()
-        service.close()
+        for s in services.values():
+            s.close()
 
 
 if __name__ == "__main__":

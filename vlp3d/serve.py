@@ -20,6 +20,12 @@ Endpoints (all JSON):
 - ``GET /healthz``     — model/task/shape info.
 - ``GET /stats``       — request count, device batches, mean occupancy.
 
+One server can host several tasks sharing one checkpoint's weights
+(pass ``make_server`` a dict of services), and each service can serve
+data-parallel over a device mesh (``mesh=`` — the padded batch shards
+over the mesh's first axis, weights replicate; see
+vlp3d/parallel/mesh.py).
+
 ``point_cloud`` is either a nested list ``(N, C)`` or
 ``{"b64": <base64 of little-endian float32>, "shape": [N, C]}``. ``C``
 must be 3 (xyz only; feature channels are zero-filled) or
@@ -177,6 +183,7 @@ class InferenceService:
         batch_size: int = 8,
         max_wait_ms: float = 5.0,
         topk: int = 10,
+        mesh=None,
     ):
         from vlp3d.data.tokenizer import load_tokenizer
 
@@ -192,16 +199,17 @@ class InferenceService:
         self.seq_len = config.model.bert_seq_len
         if task == "ground":
             self._pred = GroundingPredictor(
-                config, variables, batch_size=batch_size
+                config, variables, batch_size=batch_size, mesh=mesh
             )
         elif task == "caption":
             self._pred = CaptionPredictor(
                 config, variables, caption_params=caption_params,
-                batch_size=batch_size,
+                batch_size=batch_size, mesh=mesh,
             )
         else:
             self._pred = AnswerPredictor(
-                config, variables, topk=topk, batch_size=batch_size
+                config, variables, topk=topk, batch_size=batch_size,
+                mesh=mesh,
             )
         self._batcher = MicroBatcher(
             self._run_batch, batch_size, max_wait_ms
@@ -326,12 +334,22 @@ class InferenceService:
         return s
 
 
-def make_server(service: InferenceService, host="127.0.0.1", port=0):
-    """Build (without starting) a ThreadingHTTPServer for the service.
-    Call ``serve_forever()`` on the result; ``server_address[1]`` is the
-    bound port (pass port=0 for an ephemeral one)."""
+def make_server(services, host="127.0.0.1", port=0):
+    """Build (without starting) a ThreadingHTTPServer.
 
-    route = f"/v1/{service.task}"
+    ``services`` is one :class:`InferenceService` or several (list or
+    ``{task: service}`` dict — e.g. all three tasks sharing one trained
+    checkpoint's variables); each task is routed at ``/v1/<task>`` with
+    its own micro-batching queue. Call ``serve_forever()`` on the result;
+    ``server_address[1]`` is the bound port (pass port=0 for an
+    ephemeral one)."""
+
+    if isinstance(services, InferenceService):
+        services = {services.task: services}
+    elif not isinstance(services, dict):
+        services = {s.task: s for s in services}
+    routes = {f"/v1/{t}": s for t, s in services.items()}
+    only = next(iter(services.values())) if len(services) == 1 else None
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet by default
@@ -347,17 +365,32 @@ def make_server(service: InferenceService, host="127.0.0.1", port=0):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, service.health())
+                if only is not None:
+                    self._send(200, only.health())
+                else:
+                    self._send(200, {
+                        "status": "ok",
+                        "tasks": {t: s.health() for t, s in services.items()},
+                    })
             elif self.path == "/stats":
-                self._send(200, service.stats())
+                if only is not None:
+                    self._send(200, only.stats())
+                else:
+                    self._send(
+                        200, {t: s.stats() for t, s in services.items()}
+                    )
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
-            if self.path != route:
+            service = routes.get(self.path)
+            if service is None:
                 self._send(
                     404,
-                    {"error": f"no route {self.path} (serving {route})"},
+                    {
+                        "error": f"no route {self.path} "
+                        f"(serving {', '.join(sorted(routes))})"
+                    },
                 )
                 return
             try:

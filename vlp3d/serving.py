@@ -18,11 +18,10 @@ confidences (eval_ground.py:100-120 / train_3dvlp.py:489-492).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vlp3d.config import Config
 from vlp3d.models.jointnet import JointNet
@@ -36,13 +35,38 @@ SCALAR_KEYS = ("epoch", "istrain", "random")
 
 class _StreamingPredictor:
     """Shared streaming harness: one jitted lax.scan dispatch per list of
-    equally-shaped batches (subclass provides `_predict`)."""
+    equally-shaped batches (subclass provides `_predict`).
 
-    def __init__(self, config: Config, variables, *, batch_size: int = 8):
+    Pass ``mesh`` (e.g. `vlp3d.parallel.mesh.make_mesh()`) to serve
+    data-parallel: variables replicate, the batch axis shards over the
+    mesh's first axis, and GSPMD runs the one jitted program across the
+    chips — the serving analogue of the training data mesh (SURVEY §2.7;
+    the reference serves single-GPU only)."""
+
+    def __init__(
+        self,
+        config: Config,
+        variables,
+        *,
+        batch_size: int = 8,
+        mesh: Mesh | None = None,
+    ):
         self.config = config
-        self.variables = variables
         self.batch_size = batch_size
+        self.mesh = mesh
         self.model = JointNet(config)
+        if mesh is not None:
+            if batch_size % mesh.size:
+                raise ValueError(
+                    f"batch_size={batch_size} must be divisible by the "
+                    f"{mesh.size}-device serving mesh"
+                )
+            axis = mesh.axis_names[0]
+            repl = NamedSharding(mesh, P())
+            self._batch_sh = NamedSharding(mesh, P(axis))
+            self._stream_sh = NamedSharding(mesh, P(None, axis))
+            variables = jax.device_put(variables, repl)
+        self.variables = variables
         self._scalars = {
             "epoch": jnp.int32(0),
             "istrain": jnp.int32(0),
@@ -63,17 +87,28 @@ class _StreamingPredictor:
             lambda v, b: predict(v, {**b, **self._scalars})
         )
 
+    def _put(self, x, sharding):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(np.asarray(x), sharding)
+
     def __call__(self, batches: list[dict]) -> list[dict]:
         """batches: host batch dicts with STREAM_KEYS arrays of identical
         shapes. One device dispatch for the whole list."""
         if len(batches) == 1:
             out = self._run_one(
                 self.variables,
-                {k: jnp.asarray(batches[0][k]) for k in STREAM_KEYS},
+                {
+                    k: self._put(batches[0][k], getattr(self, "_batch_sh", None))
+                    for k in STREAM_KEYS
+                },
             )
             return [jax.device_get(out)]
         stream = {
-            k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+            k: self._put(
+                np.stack([np.asarray(b[k]) for b in batches]),
+                getattr(self, "_stream_sh", None),
+            )
             for k in STREAM_KEYS
         }
         outs = jax.device_get(
@@ -101,6 +136,7 @@ class CaptionPredictor(_StreamingPredictor):
         *,
         caption_params=None,
         batch_size: int = 8,
+        mesh: Mesh | None = None,
     ):
         from vlp3d.models.caption import CaptionDecoder, greedy_decode
 
@@ -135,7 +171,9 @@ class CaptionPredictor(_StreamingPredictor):
             }
 
         self._predict = predict
-        super().__init__(config, variables, batch_size=batch_size)
+        super().__init__(
+            config, variables, batch_size=batch_size, mesh=mesh
+        )
 
 
 class AnswerPredictor(_StreamingPredictor):
@@ -146,7 +184,7 @@ class AnswerPredictor(_StreamingPredictor):
 
     def __init__(
         self, config: Config, variables, *, topk: int = 10,
-        batch_size: int = 8,
+        batch_size: int = 8, mesh: Mesh | None = None,
     ):
         assert config.model.use_answer, "AnswerPredictor needs use_answer"
 
@@ -166,27 +204,24 @@ class AnswerPredictor(_StreamingPredictor):
             }
 
         self._predict = predict
-        super().__init__(config, variables, batch_size=batch_size)
+        super().__init__(
+            config, variables, batch_size=batch_size, mesh=mesh
+        )
 
 
-class GroundingPredictor:
-    """Jitted streaming ScanRefer grounding inference on one chip.
+class GroundingPredictor(_StreamingPredictor):
+    """Jitted streaming ScanRefer grounding inference.
 
+    The per-sentence prediction is argmax over objectness-masked
+    confidences (eval_ground.py:100-120 / train_3dvlp.py:489-492).
     `config` should be grounding-configured (e.g. no_caption=True,
     use_con=False): task heads that are enabled run in the forward and may
     require label keys beyond STREAM_KEYS."""
 
-    def __init__(self, config: Config, variables, *, batch_size: int = 8):
-        self.config = config
-        self.variables = variables
-        self.batch_size = batch_size
-        self.model = JointNet(config)
-        self._scalars = {
-            "epoch": jnp.int32(0),
-            "istrain": jnp.int32(0),
-            "random": jnp.float32(0.25),
-        }
-
+    def __init__(
+        self, config: Config, variables, *, batch_size: int = 8,
+        mesh: Mesh | None = None,
+    ):
         def predict(variables, b):
             out = self.model.apply(variables, b, train=False, is_eval=True)
             masks = out["objectness_masks"]  # (B, K)
@@ -200,36 +235,7 @@ class GroundingPredictor:
                 "pred_heading": out["pred_heading"],
             }
 
-        @functools.partial(jax.jit, static_argnums=())
-        def run_stream(variables, stream, scalars):
-            def step(_, b):
-                return None, predict(variables, {**b, **scalars})
-
-            return jax.lax.scan(step, None, stream)[1]
-
-        self._run_stream = run_stream
-        self._run_one = jax.jit(
-            lambda v, b: predict(v, {**b, **self._scalars})
+        self._predict = predict
+        super().__init__(
+            config, variables, batch_size=batch_size, mesh=mesh
         )
-
-    def __call__(self, batches: list[dict]) -> list[dict]:
-        """batches: list of host batch dicts (each with STREAM_KEYS arrays
-        of identical shapes). Returns one prediction dict per batch
-        (numpy). One device dispatch for the whole list."""
-        if len(batches) == 1:
-            out = self._run_one(
-                self.variables,
-                {k: jnp.asarray(batches[0][k]) for k in STREAM_KEYS},
-            )
-            return [jax.device_get(out)]
-        stream = {
-            k: jnp.stack([jnp.asarray(b[k]) for b in batches])
-            for k in STREAM_KEYS
-        }
-        outs = jax.device_get(
-            self._run_stream(self.variables, stream, self._scalars)
-        )
-        n = len(batches)
-        return [
-            {k: np.asarray(v[i]) for k, v in outs.items()} for i in range(n)
-        ]
