@@ -149,6 +149,11 @@ class TestGroundEndpoint:
         # without a scheduling race)
         assert after["device_batches"] - before <= 2
         assert after["requests"] >= 2
+        # latency percentiles populate once requests have flowed
+        lat = after["latency_ms"]
+        assert lat["p50"] is not None and lat["p50"] <= lat["p99"]
+        bt = after["batch_ms"]
+        assert bt["p50"] is not None and bt["p50"] <= bt["p99"]
 
     def test_bad_requests_400(self, ground_service):
         _, port, config = ground_service

@@ -18,7 +18,9 @@ Endpoints (all JSON):
 - ``POST /v1/answer``  — ``{"point_cloud": ..., "queries": [str, ...]}``
   → per-question top-k answers.
 - ``GET /healthz``     — model/task/shape info.
-- ``GET /stats``       — request count, device batches, mean occupancy.
+- ``GET /stats``       — request count, device batches, mean occupancy,
+  p50/p90/p99 request latency and device-batch time (ms, sliding
+  window of the last 1024).
 
 One server can host several tasks sharing one checkpoint's weights
 (pass ``make_server`` a dict of services), and each service can serve
@@ -37,9 +39,11 @@ convention, lib/joint/dataset.py random choice) when N differs.
 from __future__ import annotations
 
 import base64
+import collections
 import json
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -71,16 +75,22 @@ class MicroBatcher:
         self._q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "device_batches": 0, "occupancy_sum": 0}
+        # sliding windows (last 1024) for latency percentiles in stats()
+        self._latencies: collections.deque = collections.deque(maxlen=1024)
+        self._batch_times: collections.deque = collections.deque(maxlen=1024)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, item: dict) -> dict:
         """Blocks until the item's result is available (or re-raises the
         batch's failure)."""
+        t0 = time.monotonic()
         done = threading.Event()
         box: list = [None, None]  # result, error
         self._q.put((item, done, box))
         done.wait()
+        with self._lock:
+            self._latencies.append(time.monotonic() - t0)
         if box[1] is not None:
             raise box[1]
         return box[0]
@@ -115,6 +125,7 @@ class MicroBatcher:
     def _drain(self, batch):
         items = [b[0] for b in batch]
         padded = items + [items[0]] * (self.batch_size - len(items))
+        t0 = time.monotonic()
         try:
             results = self._run(padded)
             err = None
@@ -124,12 +135,31 @@ class MicroBatcher:
             self.stats["requests"] += len(batch)
             self.stats["device_batches"] += 1
             self.stats["occupancy_sum"] += len(batch)
+            self._batch_times.append(time.monotonic() - t0)
         for i, (_, done, box) in enumerate(batch):
             if err is not None:
                 box[1] = err
             else:
                 box[0] = results[i]
             done.set()
+
+    def latency_stats(self) -> dict:
+        """p50/p90/p99 (ms) over the last ≤1024 requests and device
+        batches — end-to-end submit→result vs device-batch run time."""
+        with self._lock:
+            lat = list(self._latencies)
+            bt = list(self._batch_times)
+        out = {}
+        for name, xs in (("latency_ms", lat), ("batch_ms", bt)):
+            if xs:
+                arr = np.sort(np.asarray(xs)) * 1e3
+                out[name] = {
+                    p: float(arr[min(int(len(arr) * q), len(arr) - 1)])
+                    for p, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+                }
+            else:
+                out[name] = {"p50": None, "p90": None, "p99": None}
+        return out
 
 
 class BadRequest(ValueError):
@@ -331,6 +361,7 @@ class InferenceService:
         s["mean_occupancy"] = s["occupancy_sum"] / max(
             s["device_batches"], 1
         )
+        s.update(self._batcher.latency_stats())
         return s
 
 
