@@ -9,7 +9,43 @@ scale (exp(U(-0.1, 0.1)) diagonal) -> translate (U{-0.5..0.5 step .001}).
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
+
+
+@dataclasses.dataclass
+class AugmentParams:
+    """One item's drawn augmentation: two flips, the combined point
+    rotation (rotx^T @ roty^T @ rotz^T), the diagonal scale matrix, and
+    the translation — enough to replay the point transform anywhere
+    (numpy here, or fused into the native gather, loader.c)."""
+
+    flip0: bool
+    flip1: bool
+    rot: np.ndarray  # (3, 3) f64
+    scale: np.ndarray  # (3, 3) f64, diagonal
+    trans: np.ndarray  # (3,) f64
+
+
+def apply_mat3_points(points_xyz, mat):
+    """Elementwise-f64 replacement for ``np.dot(points[:, :3], mat)``
+    with a fixed, FMA-free summation order ``(x*m0j + y*m1j) + z*m2j``.
+
+    np.dot routes through BLAS dgemm, which may use FMA instructions
+    whose f64-internal rounding differs from separate mul+add; after the
+    f32 store-round the results agree except on ~2^-30-probability
+    rounding-boundary ties — harmless numerically, but the native fused
+    loader (loader.c:gather_augment_rows, built with -ffp-contract=off)
+    must reproduce the numpy path BIT-FOR-BIT, so both use this form.
+    """
+    x = points_xyz[:, 0].astype(np.float64)
+    y = points_xyz[:, 1].astype(np.float64)
+    z = points_xyz[:, 2].astype(np.float64)
+    out = np.empty((points_xyz.shape[0], 3), np.float64)
+    for j in range(3):
+        out[:, j] = (x * mat[0, j] + y * mat[1, j]) + z * mat[2, j]
+    return out
 
 
 def rotx(t):
@@ -61,20 +97,22 @@ def rotate_aligned_boxes_along_axis(input_boxes, rot_mat, axis):
     return np.concatenate([new_centers, new_lengths], axis=1)
 
 
-def flip_augment(point_cloud, target_bboxes, rng):
-    """YZ / XZ plane flips, each with p = 0.3 (utils_fn.py:28-40)."""
-    if rng.random() > 0.7:
-        point_cloud[:, 0] = -point_cloud[:, 0]
+def draw_augment(rng, target_bboxes):
+    """Draw one item's augmentation (the reference's exact rng ORDER:
+    flip d1, flip d2, ax, ay, az, scale U(-0.1,0.1,(3,3)), 3× translate
+    choice — utils_fn.py:28-142) and apply the BOX transforms in place.
+
+    Returns (AugmentParams, transformed boxes). The point transform is
+    applied separately — numpy (:func:`apply_augment_points`) or fused
+    into the native gather (loader.c:gather_augment_rows) — so the
+    loader can do the wide per-point work in one C pass."""
+    flip0 = bool(rng.random() > 0.7)
+    if flip0:
         target_bboxes[:, 0] = -target_bboxes[:, 0]
-    if rng.random() > 0.7:
-        point_cloud[:, 1] = -point_cloud[:, 1]
+    flip1 = bool(rng.random() > 0.7)
+    if flip1:
         target_bboxes[:, 1] = -target_bboxes[:, 1]
-    return point_cloud, target_bboxes
 
-
-def rotate_augment(point_cloud, target_bboxes, rng):
-    """±5° rotations about x, y, z (utils_fn.py:81-106): boxes re-fit per
-    axis, points rotated by rotx^T @ roty^T @ rotz^T."""
     ax = (rng.random() * np.pi / 18) - np.pi / 36
     mx = rotx(ax)
     target_bboxes = rotate_aligned_boxes_along_axis(target_bboxes, mx, "x")
@@ -84,38 +122,39 @@ def rotate_augment(point_cloud, target_bboxes, rng):
     az = (rng.random() * np.pi / 18) - np.pi / 36
     mz = rotz(az)
     target_bboxes = rotate_aligned_boxes_along_axis(target_bboxes, mz, "z")
-
     rot = np.dot(np.transpose(mx), np.transpose(my))
     rot = np.dot(rot, np.transpose(mz))
-    point_cloud[:, 0:3] = np.dot(point_cloud[:, 0:3], rot)
-    return point_cloud, target_bboxes
 
-
-def translate(point_set, bbox, rng):
-    grid = np.arange(-0.5, 0.501, 0.001)
-    factor = [rng.choice(grid, size=1)[0] for _ in range(3)]
-    point_set[:, :3] += factor
-    bbox[:, :3] += factor
-    return point_set, bbox
-
-
-def scale_augment(point_cloud, target_bboxes, use_height, rng):
-    """exp(U(-0.1, 0.1)) per-axis scale + translate (utils_fn.py:110-128).
-    The reference draws a full (3,3) uniform then keeps the diagonal."""
     scale = rng.uniform(-0.1, 0.1, (3, 3))
     scale = np.exp(scale) * np.eye(3)
-    point_cloud[:, 0:3] = np.dot(point_cloud[:, 0:3], scale)
-    if use_height:
-        point_cloud[:, 3] = point_cloud[:, 3] * float(scale[2, 2])
     target_bboxes[:, 0:3] = np.dot(target_bboxes[:, 0:3], scale)
     target_bboxes[:, 3:6] = np.dot(target_bboxes[:, 3:6], scale)
-    return translate(point_cloud, target_bboxes, rng)
+
+    grid = np.arange(-0.5, 0.501, 0.001)
+    trans = np.array([rng.choice(grid, size=1)[0] for _ in range(3)])
+    target_bboxes[:, :3] += trans
+    return AugmentParams(flip0, flip1, rot, scale, trans), target_bboxes
+
+
+def apply_augment_points(point_cloud, params, use_height):
+    """Apply a drawn augmentation to points in place, rounding to f32 at
+    exactly the reference chain's store points: flip → rotate (store) →
+    scale (store; col 3 scaled in an f32 loop — the python-float scalar
+    is weak under NEP 50) → translate (f64 loop, f32 store)."""
+    if params.flip0:
+        point_cloud[:, 0] = -point_cloud[:, 0]
+    if params.flip1:
+        point_cloud[:, 1] = -point_cloud[:, 1]
+    point_cloud[:, 0:3] = apply_mat3_points(point_cloud, params.rot)
+    point_cloud[:, 0:3] = apply_mat3_points(point_cloud, params.scale)
+    if use_height:
+        point_cloud[:, 3] = point_cloud[:, 3] * float(params.scale[2, 2])
+    point_cloud[:, :3] += params.trans
+    return point_cloud
 
 
 def augment_scene(point_cloud, target_bboxes, use_height, rng):
     """Full train-time augmentation chain (dataset.py:653-661)."""
-    point_cloud, target_bboxes = flip_augment(point_cloud, target_bboxes, rng)
-    point_cloud, target_bboxes = rotate_augment(
-        point_cloud, target_bboxes, rng
-    )
-    return scale_augment(point_cloud, target_bboxes, use_height, rng)
+    params, target_bboxes = draw_augment(rng, target_bboxes)
+    point_cloud = apply_augment_points(point_cloud, params, use_height)
+    return point_cloud, target_bboxes

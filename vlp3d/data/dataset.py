@@ -28,7 +28,7 @@ import random as pyrandom
 import numpy as np
 
 from vlp3d import native
-from vlp3d.data.augment import augment_scene
+from vlp3d.data.augment import augment_scene, draw_augment
 from vlp3d.data.prompt import Prompt
 from vlp3d.geometry.boxes import get_3d_box_batch
 
@@ -458,11 +458,13 @@ class ScanReferJointDataset:
                 instance_labels = np.empty((self.num_points,), np.int64)
                 point_votes = np.empty((self.num_points, 9), np.float32)
                 point_votes_mask = np.empty((self.num_points,), np.int64)
-            native.gather_scene_rows(scene_pc, choices, point_cloud)
             native.gather_i64(
                 scene["instance_labels"], choices, instance_labels
             )
             sem_ok = native.gather_u8(sem_ok_raw, choices)
+            # the point gather itself runs fused with the augmentation
+            # below (native.gather_augment_rows) once the augmentation
+            # params are drawn
         else:
             point_cloud = np.array(scene_pc, np.float32)
             instance_labels = np.array(scene["instance_labels"])
@@ -490,37 +492,22 @@ class ScanReferJointDataset:
         target_bboxes[:num_bbox] = instance_bboxes[:num_bbox, 0:6]
         target_bboxes_mask[:num_bbox] = 1.0
 
-        if self.augment and use_fused:
-            # narrow f32 replay of exactly the columns augment_scene
-            # touches: [xyz] (+ col 3 when use_height — the reference
-            # scales col 3 whatever it holds, utils_fn.py:116-117).
-            # Heights enter col 3 only when c_raw == 3; with extra
-            # features the height column sits last and augment never
-            # touches it (reference quirk). The array stays f32 like the
-            # full-width path, so every augment step's store rounds at
-            # the same point — bit-identical output.
-            ncols = 4 if self.use_height else 3
-            small = np.empty((self.num_points, ncols), np.float32)
-            small[:, :3] = point_cloud[:, :3]
-            height = None
-            if self.use_height:
-                height = point_cloud[:, 2] - floor_height
-                small[:, 3] = height if c_raw == 3 else point_cloud[:, 3]
-            small, target_bboxes = augment_scene(
-                small, target_bboxes, self.use_height, rng
+        if use_fused:
+            # ONE C pass: sample-gather + flip/rotate/scale/translate +
+            # height channel (loader.c:gather_augment_rows), bit-identical
+            # to the numpy path below — the numpy augment chain rounds to
+            # f32 at each step's store, and the kernel replays exactly
+            # those rounding points (augment.py:apply_augment_points
+            # documents the arithmetic contract). Box transforms + the
+            # rng draws stay in numpy (draw_augment — reference order).
+            params = None
+            if self.augment:
+                params, target_bboxes = draw_augment(rng, target_bboxes)
+            native.gather_augment_rows(
+                scene_pc, choices, point_cloud,
+                params=params, use_height=self.use_height,
+                floor_height=floor_height,
             )
-            point_cloud[:, :3] = small[:, :3]
-            if self.use_height:
-                if c_raw == 3:
-                    height = small[:, 3]
-                else:
-                    point_cloud[:, 3] = small[:, 3]
-                point_cloud[:, c_out - 1] = height
-        elif use_fused:
-            if self.use_height:
-                point_cloud[:, c_out - 1] = (
-                    point_cloud[:, 2] - floor_height
-                )
         elif self.augment:
             point_cloud, target_bboxes = augment_scene(
                 point_cloud, target_bboxes, self.use_height, rng

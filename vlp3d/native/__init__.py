@@ -33,8 +33,11 @@ def _build() -> str | None:
         return out
     for cc in ("cc", "gcc", "clang"):
         try:
+            # -ffp-contract=off: gather_augment_rows must round exactly
+            # like the numpy augment chain (no a*b+c FMA fusion)
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-pthread", "-o", out, src],
+                [cc, "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                 "-pthread", "-o", out, src],
                 check=True,
                 capture_output=True,
             )
@@ -75,6 +78,15 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    lib.gather_augment_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_float, ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.c_float,
     ]
     lib.compute_votes_tiled.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
@@ -148,6 +160,50 @@ def gather_scene_rows(
         _f32p(scene_pc), scene_pc.shape[1], _i64p(choices),
         choices.shape[0], scene_pc.shape[1], _f32p(out),
         out.strides[0] // 4,
+    )
+
+
+def _f64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def gather_augment_rows(
+    scene_pc: np.ndarray,  # (N_raw, C_raw) f32 C-contiguous
+    choices: np.ndarray,  # (n,) int64
+    out: np.ndarray,  # (n, C_out >= C_raw) f32 — a batch-buffer slot view
+    *,
+    params=None,  # augment.AugmentParams or None (no augmentation)
+    use_height: bool = False,
+    floor_height: float = 0.0,
+) -> None:
+    """Fused sample-gather + augment + height channel, one C pass.
+
+    Bit-identical to: gather_scene_rows, then the numpy augment chain
+    (vlp3d.data.augment.apply_augment_points) on the xyz/col-3 columns,
+    then the height write — see loader.c:gather_augment_rows for the
+    exact per-step rounding contract."""
+    lib = _load()
+    assert scene_pc.dtype == np.float32 and scene_pc.flags.c_contiguous
+    assert out.dtype == np.float32 and out.strides[1] == 4
+    choices = np.ascontiguousarray(choices, np.int64)
+    if params is not None:
+        rot = np.ascontiguousarray(params.rot, np.float64)
+        scale = np.ascontiguousarray(params.scale, np.float64)
+        trans = np.ascontiguousarray(params.trans, np.float64)
+        s22 = np.float32(float(params.scale[2, 2]))
+        flip0, flip1 = int(params.flip0), int(params.flip1)
+        aug = 1
+    else:
+        rot = scale = np.zeros((3, 3), np.float64)
+        trans = np.zeros((3,), np.float64)
+        s22 = np.float32(0)
+        flip0 = flip1 = aug = 0
+    lib.gather_augment_rows(
+        _f32p(scene_pc), scene_pc.shape[1], _i64p(choices),
+        choices.shape[0], scene_pc.shape[1], _f32p(out),
+        out.strides[0] // 4, out.shape[1], aug, flip0, flip1,
+        _f64p(rot), _f64p(scale), s22, _f64p(trans),
+        int(use_height), np.float32(floor_height),
     )
 
 

@@ -184,6 +184,86 @@ void gather_rows_strided_f32(const float *src, int64_t src_stride,
   }
 }
 
+/* Fused sample-gather + train-time augmentation + height channel.
+ *
+ * One pass per item instead of five (row gather, narrow xyz copy-out,
+ * flip/rotate/scale/translate numpy passes, copy-back, height write).
+ * The arithmetic replicates the numpy augment chain BIT-FOR-BIT:
+ *
+ *   - flip: exact f32 negation (utils_fn.py:28-40);
+ *   - rotate/scale: numpy evaluates the elementwise-f64 form
+ *     (x*m00 + y*m10) + z*m20 per output column (augment.py
+ *     apply_mat3_points — deliberately NOT np.dot, whose BLAS dgemm may
+ *     use FMA with different f64-internal rounding) and rounds to f32 on
+ *     the slice store. Here: promote to double, same grouping, one
+ *     (float) round per step. The build passes -ffp-contract=off so the
+ *     compiler cannot fuse a*b+c into FMA either.
+ *   - col-3 scale: numpy's `pc[:, 3] * float(s22)` runs an f32 loop
+ *     under NEP 50 (python float is weak) -> f32 scalar, f32 multiply.
+ *   - translate: numpy's in-place += with a float64 rhs runs the f64
+ *     loop and casts on store -> (float)((double)x + t).
+ *   - height: f32 subtract of the (f32) floor percentile, computed from
+ *     the RAW z before augmentation (dataset.py:603-607 computes height
+ *     on the pre-augment cloud).
+ *
+ * Column layout quirks mirrored from the reference (utils_fn.py:116-117
+ * scales column 3 WHATEVER it holds): with c_raw == 3 the height IS
+ * column 3 and gets scaled; with feature channels, column 3 is the first
+ * feature (scaled) and the unscaled height lands in the last column.
+ */
+void gather_augment_rows(const float *src, int64_t src_stride,
+                         const int64_t *idx, int64_t n_out, int64_t c_raw,
+                         float *out, int64_t out_stride, int64_t c_out,
+                         int augment, int flip0, int flip1,
+                         const double *rot, const double *scale,
+                         float s22_f32, const double *trans,
+                         int use_height, float floor_height) {
+  for (int64_t i = 0; i < n_out; ++i) {
+    const float *s = src + idx[i] * src_stride;
+    float *o = out + i * out_stride;
+    memcpy(o, s, (size_t)c_raw * sizeof(float));
+    float h_pre = 0.0f;
+    if (use_height) h_pre = s[2] - floor_height;
+    if (augment) {
+      float x = o[0], y = o[1], z = o[2];
+      if (flip0) x = -x;
+      if (flip1) y = -y;
+      double dx = x, dy = y, dz = z;
+      /* volatile: each stage must ROUND to f32 exactly where the numpy
+       * chain stores to the f32 array; without it the optimizer keeps
+       * the value in a double register across stages (measured: the
+       * (float) cast was elided at -O3, skipping the intermediate
+       * round and drifting 1 ulp vs the numpy path). */
+      volatile float rx =
+          (float)((dx * rot[0] + dy * rot[3]) + dz * rot[6]);
+      volatile float ry =
+          (float)((dx * rot[1] + dy * rot[4]) + dz * rot[7]);
+      volatile float rz =
+          (float)((dx * rot[2] + dy * rot[5]) + dz * rot[8]);
+      dx = rx;
+      dy = ry;
+      dz = rz;
+      volatile float sx =
+          (float)((dx * scale[0] + dy * scale[3]) + dz * scale[6]);
+      volatile float sy =
+          (float)((dx * scale[1] + dy * scale[4]) + dz * scale[7]);
+      volatile float sz =
+          (float)((dx * scale[2] + dy * scale[5]) + dz * scale[8]);
+      o[0] = (float)((double)sx + trans[0]);
+      o[1] = (float)((double)sy + trans[1]);
+      o[2] = (float)((double)sz + trans[2]);
+      if (use_height) {
+        float v3 = (c_raw == 3) ? h_pre : o[3];
+        float v3s = v3 * s22_f32;
+        o[3] = v3s;
+        if (c_raw != 3) o[c_out - 1] = h_pre;
+      }
+    } else if (use_height) {
+      o[c_out - 1] = h_pre;
+    }
+  }
+}
+
 /* compute_votes with the GT_VOTE_FACTOR=3 tiling (np.tile(votes, (1, 3)),
  * dataset.py:679) and the int64 mask folded in, writing both straight
  * into their batch-buffer slots. Same instance/center semantics as
