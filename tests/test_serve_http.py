@@ -165,11 +165,55 @@ class TestGroundEndpoint:
                 "point_cloud": _scene(4).tolist(),
                 "queries": ["a"] * (config.model.lang_num_max + 1),
             },
+            # ragged rows and an empty cloud are client errors, not 500s
+            {"point_cloud": [[0.0, 0.0, 0.0], [0.0, 0.0]], "queries": ["x"]},
+            {"point_cloud": [], "queries": ["x"]},
         ):
             with pytest.raises(urllib.error.HTTPError) as ei:
                 _post(port, "/v1/ground", payload)
             assert ei.value.code == 400
             assert "error" in json.loads(ei.value.read())
+
+    def test_malformed_bodies_400(self, ground_service):
+        _, port, _ = ground_service
+        for body in (b"not json", b"[1, 2, 3]", b'"a string"'):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/ground",
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400
+
+    def test_xyz_only_gets_derived_height(self, ground_service):
+        # the last feature channel follows the training convention
+        # z - percentile(z, 0.99); zero-filling it would be OOD
+        service, _, config = ground_service
+        from vlp3d.serve import _parse_point_cloud
+
+        pc = _scene(7, channels=3)
+        in_dim = config.model.input_feature_dim
+        arr = _parse_point_cloud(
+            {"point_cloud": pc.tolist()}, service.num_points, in_dim
+        )
+        assert arr.shape == (service.num_points, 3 + in_dim)
+        floor = np.percentile(pc[:, 2], 0.99)
+        np.testing.assert_allclose(
+            arr[:, -1], arr[:, 2] - floor, rtol=0, atol=1e-6
+        )
+        if in_dim > 1:  # other feature channels stay zero-filled
+            assert not np.any(arr[:, 3:-1])
+
+    def test_submit_after_close_raises(self, ground_service):
+        from vlp3d.serve import MicroBatcher
+
+        b = MicroBatcher(lambda items: [{} for _ in items], 2, 5.0)
+        assert b.submit({"x": 1}) == {}
+        b.close()
+        with pytest.raises(RuntimeError):
+            b.submit({"x": 2})
 
     def test_unknown_route_404(self, ground_service):
         _, port, _ = ground_service

@@ -69,8 +69,6 @@ def main(argv=None):
     from vlp3d.models.jointnet import JointNet
     from vlp3d.serve import InferenceService, make_server
     from vlp3d.train import checkpoint as ckpt
-    from vlp3d.train.optimizer import make_optimizer
-    from vlp3d.train.state import create_state
 
     config = resolve_config(args)
     # the served tasks decide which heads the model carries
@@ -87,15 +85,29 @@ def main(argv=None):
     if args.data_devices != 1:
         from vlp3d.parallel.mesh import make_mesh
 
-        mesh = make_mesh(args.data_devices or None)
+        n = args.data_devices
+        if n and (n < 1 or n > len(jax.devices())):
+            raise SystemExit(
+                f"--data_devices {n} invalid: this host exposes "
+                f"{len(jax.devices())} device(s)"
+            )
+        mesh = make_mesh(n or None)
 
     model = JointNet(config)
     sample = make_batch(
         config, batch_size=args.serve_batch_size,
         num_points=config.dataset.num_points,
     )
-    state = create_state(model, make_optimizer(), sample, config.train.seed)
-    params, batch_stats = state.params, state.batch_stats
+    # inference needs only params + batch_stats — a jitted model.init
+    # gives the structure (and the random weights for checkpoint-less
+    # smoke serving) without allocating optimizer moment buffers
+    variables = jax.jit(
+        lambda b: model.init(
+            {"params": jax.random.key(config.train.seed)}, b, train=False
+        )
+    )(sample)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     if args.model_dir:
         snap = ckpt.load_params(args.model_dir, "model")
         params = snap["params"]

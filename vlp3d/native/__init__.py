@@ -61,11 +61,6 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
-    lib.gather_rows_f32.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_float),
-    ]
     lib.gather_rows_i64.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
@@ -73,11 +68,6 @@ def _load():
     lib.gather_u8.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
-    ]
-    lib.gather_rows_strided_f32.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
     ]
     lib.gather_augment_rows.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -144,25 +134,6 @@ def _u8p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
-def gather_scene_rows(
-    scene_pc: np.ndarray,  # (N_raw, C_raw) f32 C-contiguous
-    choices: np.ndarray,  # (n,) int64
-    out: np.ndarray,  # (n, C_out >= C_raw) f32 — a batch-buffer slot view
-) -> None:
-    """out[i, :C_raw] = scene_pc[choices[i]]; extra trailing columns (the
-    height slot) are left untouched. Writes straight into the caller's
-    buffer — no intermediate full-width copy."""
-    lib = _load()
-    assert scene_pc.dtype == np.float32 and scene_pc.flags.c_contiguous
-    assert out.dtype == np.float32 and out.strides[1] == 4
-    choices = np.ascontiguousarray(choices, np.int64)
-    lib.gather_rows_strided_f32(
-        _f32p(scene_pc), scene_pc.shape[1], _i64p(choices),
-        choices.shape[0], scene_pc.shape[1], _f32p(out),
-        out.strides[0] // 4,
-    )
-
-
 def _f64p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
@@ -178,7 +149,7 @@ def gather_augment_rows(
 ) -> None:
     """Fused sample-gather + augment + height channel, one C pass.
 
-    Bit-identical to: gather_scene_rows, then the numpy augment chain
+    Bit-identical to: a plain row gather, then the numpy augment chain
     (vlp3d.data.augment.apply_augment_points) on the xyz/col-3 columns,
     then the height write — see loader.c:gather_augment_rows for the
     exact per-step rounding contract."""

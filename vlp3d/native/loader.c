@@ -149,16 +149,6 @@ void compute_votes(const float *points, int64_t stride, int64_t n,
   (void)FMAX;
 }
 
-/* Gather rows: out[i] = src[idx[i]] for (n_out, stride) float32 rows —
- * the point-subsampling gather (dataset.py:610-615). */
-void gather_rows_f32(const float *src, int64_t stride, const int64_t *idx,
-                     int64_t n_out, float *out) {
-  for (int64_t i = 0; i < n_out; ++i) {
-    memcpy(out + i * stride, src + idx[i] * stride,
-           (size_t)stride * sizeof(float));
-  }
-}
-
 void gather_rows_i64(const int64_t *src, const int64_t *idx, int64_t n_out,
                      int64_t *out) {
   for (int64_t i = 0; i < n_out; ++i) out[i] = src[idx[i]];
@@ -167,21 +157,6 @@ void gather_rows_i64(const int64_t *src, const int64_t *idx, int64_t n_out,
 void gather_u8(const uint8_t *src, const int64_t *idx, int64_t n_out,
                uint8_t *out) {
   for (int64_t i = 0; i < n_out; ++i) out[i] = src[idx[i]];
-}
-
-/* Strided row gather: out rows may be wider than src rows (out_stride >=
- * ncols), so the sampled scene can be written STRAIGHT into its
- * (num_points, c_out) slot of a preallocated batch buffer — the
- * fused-loader path that removes the per-item full-scene copy and the
- * collate-time np.stack memcpy of the ~170 MB point_clouds batch. */
-void gather_rows_strided_f32(const float *src, int64_t src_stride,
-                             const int64_t *idx, int64_t n_out,
-                             int64_t ncols, float *out,
-                             int64_t out_stride) {
-  for (int64_t i = 0; i < n_out; ++i) {
-    memcpy(out + i * out_stride, src + idx[i] * src_stride,
-           (size_t)ncols * sizeof(float));
-  }
 }
 
 /* Fused sample-gather + train-time augmentation + height channel.

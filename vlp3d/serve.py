@@ -30,7 +30,9 @@ vlp3d/parallel/mesh.py).
 
 ``point_cloud`` is either a nested list ``(N, C)`` or
 ``{"b64": <base64 of little-endian float32>, "shape": [N, C]}``. ``C``
-must be 3 (xyz only; feature channels are zero-filled) or
+must be 3 (xyz only; feature channels are zero-filled except the height
+channel — last column by the training convention — which is computed
+from the geometry as ``z - percentile(z, 0.99)``) or
 ``3 + input_feature_dim``. Clouds are resampled to the model's
 ``num_points`` with a seeded choice-with-replacement (the dataset's
 convention, lib/joint/dataset.py random choice) when N differs.
@@ -74,7 +76,8 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1e3
         self._q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
-        self.stats = {"requests": 0, "device_batches": 0, "occupancy_sum": 0}
+        self._closed = False
+        self.stats = {"requests": 0, "device_batches": 0}
         # sliding windows (last 1024) for latency percentiles in stats()
         self._latencies: collections.deque = collections.deque(maxlen=1024)
         self._batch_times: collections.deque = collections.deque(maxlen=1024)
@@ -84,6 +87,8 @@ class MicroBatcher:
     def submit(self, item: dict) -> dict:
         """Blocks until the item's result is available (or re-raises the
         batch's failure)."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
         t0 = time.monotonic()
         done = threading.Event()
         box: list = [None, None]  # result, error
@@ -96,12 +101,22 @@ class MicroBatcher:
         return box[0]
 
     def close(self):
+        self._closed = True
         self._q.put(None)
         self._thread.join(timeout=10)
+        # fail any request that raced past the closed check (in-flight
+        # HTTP threads during shutdown) instead of hanging it forever
+        while True:
+            try:
+                entry = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if entry is not None:
+                _, done, box = entry
+                box[1] = RuntimeError("MicroBatcher is closed")
+                done.set()
 
     def _loop(self):
-        import time
-
         while True:
             first = self._q.get()
             if first is None:
@@ -128,13 +143,17 @@ class MicroBatcher:
         t0 = time.monotonic()
         try:
             results = self._run(padded)
+            if results is None or len(results) < len(batch):
+                raise RuntimeError(
+                    f"run_batch returned {0 if results is None else len(results)} "
+                    f"results for {len(batch)} requests"
+                )
             err = None
         except Exception as e:  # fan the failure out to every caller
             results, err = None, e
         with self._lock:
             self.stats["requests"] += len(batch)
             self.stats["device_batches"] += 1
-            self.stats["occupancy_sum"] += len(batch)
             self._batch_times.append(time.monotonic() - t0)
         for i, (_, done, box) in enumerate(batch):
             if err is not None:
@@ -177,16 +196,29 @@ def _parse_point_cloud(req: dict, num_points: int, in_dim: int) -> np.ndarray:
         except (KeyError, ValueError) as e:
             raise BadRequest(f"bad b64 point_cloud: {e}") from e
     else:
-        arr = np.asarray(pc, np.float32)
+        try:
+            arr = np.asarray(pc, np.float32)
+        except (ValueError, TypeError) as e:  # ragged / non-numeric lists
+            raise BadRequest(f"bad point_cloud: {e}") from e
     if arr.ndim != 2 or arr.shape[1] not in (3, 3 + in_dim):
         raise BadRequest(
             f"point_cloud must be (N, 3) or (N, {3 + in_dim}); "
             f"got {arr.shape}"
         )
+    if arr.shape[0] == 0:
+        raise BadRequest("point_cloud is empty")
     if arr.shape[1] == 3 and in_dim:
+        # xyz-only request: zero-fill the feature channels EXCEPT the
+        # height channel (last column by the training convention,
+        # ModelConfig.input_feature_dim), which is derivable from the
+        # geometry — the dataset computes z - percentile(z, 0.99) over
+        # the full cloud (dataset.py:603-607); zero-filling it would
+        # feed the model an out-of-distribution height.
+        floor = np.percentile(arr[:, 2], 0.99)
         arr = np.concatenate(
             [arr, np.zeros((arr.shape[0], in_dim), np.float32)], axis=1
         )
+        arr[:, -1] = arr[:, 2] - floor
     if arr.shape[0] != num_points:
         # the dataset's choice-with-replacement resample convention
         rng = np.random.default_rng(0)
@@ -278,7 +310,9 @@ class InferenceService:
             input_ids[: len(queries)] = enc["input_ids"]
             attention[: len(queries)] = enc["attention_mask"]
         else:
-            input_ids[:, 0] = 101  # CLS-only rows keep BERT ranges valid
+            # CLS-only rows keep BERT ranges valid
+            cls_id = getattr(self.tokenizer, "cls_token_id", None)
+            input_ids[:, 0] = 101 if cls_id is None else int(cls_id)
             attention[:, 0] = 1
         item = {
             "point_clouds": pc,
@@ -358,9 +392,7 @@ class InferenceService:
 
     def stats(self) -> dict:
         s = dict(self._batcher.stats)
-        s["mean_occupancy"] = s["occupancy_sum"] / max(
-            s["device_batches"], 1
-        )
+        s["mean_occupancy"] = s["requests"] / max(s["device_batches"], 1)
         s.update(self._batcher.latency_stats())
         return s
 
@@ -426,7 +458,14 @@ def make_server(services, host="127.0.0.1", port=0):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError as e:
+                    raise BadRequest(f"body is not valid JSON: {e}") from e
+                if not isinstance(req, dict):
+                    raise BadRequest(
+                        f"body must be a JSON object, got {type(req).__name__}"
+                    )
                 self._send(200, service.handle(req))
             except BadRequest as e:
                 self._send(400, {"error": str(e)})

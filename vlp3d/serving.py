@@ -66,6 +66,11 @@ class _StreamingPredictor:
             self._batch_sh = NamedSharding(mesh, P(axis))
             self._stream_sh = NamedSharding(mesh, P(None, axis))
             variables = jax.device_put(variables, repl)
+        else:
+            # checkpoint restores hand back host numpy arrays; without a
+            # one-time device_put every batch dispatch would re-transfer
+            # the full parameter tree host->device
+            variables = jax.device_put(variables)
         self.variables = variables
         self._scalars = {
             "epoch": jnp.int32(0),
