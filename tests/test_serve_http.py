@@ -330,3 +330,47 @@ def test_multi_task_server_shares_checkpoint():
         server.server_close()
         for s in services.values():
             s.close()
+
+
+def test_serve_cli_build_and_roundtrip():
+    """vlp3d-serve startup path end-to-end: parse_args + build_server on
+    the tiny --smoke config, one HTTP round trip, clean shutdown."""
+    from vlp3d.cli import serve as serve_cli
+
+    args, tasks = serve_cli.parse_args(
+        ["--smoke", "--task", "ground", "--port", "0",
+         "--serve_batch_size", str(BATCH)]
+    )
+    assert tasks == ("ground",)
+    server, services = serve_cli.build_server(args, tasks)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = server.server_address[1]
+        h = _get(port, "/healthz")
+        assert h["status"] == "ok" and h["task"] == "ground"
+        pc = _scene(11, n=h["num_points"])
+        resp = _post(
+            port, "/v1/ground",
+            {"point_cloud": pc.tolist(), "queries": ["the desk"]},
+        )
+        assert len(resp["boxes"]) == 1
+        assert len(resp["boxes"][0]["center"]) == 3
+    finally:
+        server.shutdown()
+        server.server_close()
+        for s in services.values():
+            s.close()
+        t.join(timeout=10)
+
+
+def test_serve_cli_rejects_bad_task_and_devices():
+    from vlp3d.cli import serve as serve_cli
+
+    with pytest.raises(SystemExit):
+        serve_cli.parse_args(["--task", "detect"])
+    args, tasks = serve_cli.parse_args(
+        ["--smoke", "--task", "ground", "--data_devices", "999"]
+    )
+    with pytest.raises(SystemExit):
+        serve_cli.build_server(args, tasks)

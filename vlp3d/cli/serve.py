@@ -27,8 +27,9 @@ import argparse
 TASKS = ("ground", "caption", "answer")
 
 
-def main(argv=None):
-    from vlp3d.cli.common import add_common_args, resolve_config
+def parse_args(argv=None):
+    """Parse CLI flags; returns (args, tasks)."""
+    from vlp3d.cli.common import add_common_args
 
     p = argparse.ArgumentParser()
     add_common_args(p)
@@ -58,6 +59,13 @@ def main(argv=None):
     if unknown or not tasks:
         p.error(f"--task must be a subset of {'/'.join(TASKS)} or 'all'; "
                 f"got {args.task!r}")
+    return args, tasks
+
+
+def build_server(args, tasks):
+    """Build (without starting) the HTTP server + its task services —
+    separated from main() so tests can drive the full startup path."""
+    from vlp3d.cli.common import resolve_config
 
     import dataclasses
     import json
@@ -141,6 +149,24 @@ def main(argv=None):
         f"(batch {args.serve_batch_size}, "
         f"{mesh.size if mesh is not None else 1} device(s))",
         flush=True,
+    )
+    return server, services
+
+
+def main(argv=None):
+    import signal
+    import threading
+
+    args, tasks = parse_args(argv)
+    server, services = build_server(args, tasks)
+    # SIGTERM (the fleet-manager stop signal) drains gracefully; the
+    # handler runs on the thread inside serve_forever, so shutdown()
+    # must be called from another thread to avoid self-deadlock
+    signal.signal(
+        signal.SIGTERM,
+        lambda *_: threading.Thread(
+            target=server.shutdown, daemon=True
+        ).start(),
     )
     try:
         server.serve_forever()
