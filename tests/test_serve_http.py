@@ -264,7 +264,7 @@ def test_answer_service_topk():
         service.close()
 
 
-def test_microbatcher_pads_and_propagates_errors():
+def test_microbatcher_occupancy_and_propagates_errors():
     calls = []
 
     def run(items):
@@ -276,7 +276,9 @@ def test_microbatcher_pads_and_propagates_errors():
     mb = MicroBatcher(run, batch_size=4, max_wait_ms=1.0)
     try:
         assert mb.submit({"i": 42})["i"] == 42
-        assert calls[-1] == 4  # padded to the fixed shape
+        # run_batch sees only the OCCUPIED items; the fixed-shape pad
+        # happens device-side in the predictor (serving.run_padded)
+        assert calls[-1] == 1
         with pytest.raises(RuntimeError, match="kaput"):
             mb.submit({"boom": True, "i": 0})
         # the batcher survives a failed batch

@@ -138,3 +138,59 @@ def test_mesh_sharded_predictor_matches_single_device():
 
     with pytest.raises(ValueError, match="divisible"):
         GroundingPredictor(config, variables, batch_size=3, mesh=mesh)
+
+
+def test_predictor_with_canonical_flags_needs_no_gt():
+    """Regression: serving a checkpoint trained with the canonical run.sh
+    flags (use_con=True, caption on) must not require GT label keys —
+    the contrast branch (OCC/OSC loss inputs only) is skipped at
+    is_eval=True. Caught live: the canonical-config server 500'd with
+    KeyError 'ref_center_label_list' on every request."""
+    config = tiny_config(no_caption=False, use_con=True)
+    model = JointNet(config)
+    b0 = make_batch(config, batch_size=2, num_points=256, istrain=0)
+    variables = jax.jit(
+        lambda b: model.init({"params": jax.random.key(0)}, b, train=False)
+    )(b0)
+    pred = GroundingPredictor(config, variables, batch_size=2)
+    batch = {
+        k: np.asarray(
+            make_batch(config, batch_size=2, num_points=256, seed=7)[k]
+        )
+        for k in STREAM_KEYS  # serving batches carry ONLY these keys
+    }
+    out = pred([batch])[0]
+    assert np.isfinite(out["pred_center"]).all()
+    assert out["pred_ref"].shape[0] == 2
+
+
+def test_run_padded_matches_host_padding():
+    """Device-side occupancy padding (transfer k rows, pad on device)
+    must match the old host-side pad-then-transfer path exactly."""
+    config = tiny_config(no_caption=True, use_con=False)
+    model = JointNet(config)
+    b0 = make_batch(config, batch_size=4, num_points=256, istrain=0)
+    variables = jax.jit(
+        lambda b: model.init({"params": jax.random.key(0)}, b, train=False)
+    )(b0)
+    pred = GroundingPredictor(config, variables, batch_size=4)
+    full = {
+        k: np.asarray(
+            make_batch(config, batch_size=4, num_points=256, seed=3)[k]
+        )
+        for k in STREAM_KEYS
+    }
+    for k_occ in (1, 3, 4):
+        part = {key: v[:k_occ] for key, v in full.items()}
+        got = pred.run_padded(part)
+        host_padded = {
+            key: np.concatenate(
+                [v] + [v[:1]] * (4 - k_occ), axis=0
+            )
+            for key, v in part.items()
+        }
+        want = pred([host_padded])[0]
+        for key in want:
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(want[key]), err_msg=key
+            )

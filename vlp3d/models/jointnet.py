@@ -184,7 +184,10 @@ class JointNet(nn.Module):
                 )
             )
 
-            if cfg.use_con:
+            # contrast needs GT ref boxes, which exist in train/val
+            # batches but not at serving time (is_eval=True); it only
+            # produces the OCC/OSC loss inputs, so inference skips it
+            if cfg.use_con and not is_eval:
                 gt_center, gt_size = self._ref_gt_boxes(batch)
                 out.update(
                     self.constrast(

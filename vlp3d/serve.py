@@ -64,10 +64,11 @@ class MicroBatcher:
 
     The worker thread takes the first waiting request, then drains
     whatever else arrives within ``max_wait_ms`` (up to ``batch_size``),
-    pads the batch to exactly ``batch_size`` by repeating the first item
-    (fixed shapes — one compiled program for every occupancy), runs
-    ``run_batch`` ONCE, and fans the per-item results back to the
-    blocked callers. All device work happens on this single thread.
+    runs ``run_batch`` ONCE on the occupied items, and fans the per-item
+    results back to the blocked callers. All device work happens on this
+    single thread. Padding to the fixed compiled batch size happens
+    device-side in the predictor (serving.run_padded) so a low-occupancy
+    batch transfers only its real rows.
     """
 
     def __init__(self, run_batch, batch_size: int, max_wait_ms: float = 5.0):
@@ -139,10 +140,9 @@ class MicroBatcher:
 
     def _drain(self, batch):
         items = [b[0] for b in batch]
-        padded = items + [items[0]] * (self.batch_size - len(items))
         t0 = time.monotonic()
         try:
-            results = self._run(padded)
+            results = self._run(items)
             if results is None or len(results) < len(batch):
                 raise RuntimeError(
                     f"run_batch returned {0 if results is None else len(results)} "
@@ -284,7 +284,9 @@ class InferenceService:
 
     def _run_batch(self, items: list[dict]) -> list[dict]:
         batch = {k: np.stack([it[k] for it in items]) for k in STREAM_KEYS}
-        out = self._pred([batch])[0]
+        # transfers only the occupied rows; pads to the compiled batch
+        # size on device (see serving.run_padded)
+        out = self._pred.run_padded(batch)
         return [
             {k: np.asarray(v[i]) for k, v in out.items()}
             for i in range(len(items))

@@ -18,6 +18,8 @@ confidences (eval_ground.py:100-120 / train_3dvlp.py:489-492).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -96,6 +98,59 @@ class _StreamingPredictor:
         if self.mesh is None:
             return jnp.asarray(x)
         return jax.device_put(np.asarray(x), sharding)
+
+    def run_padded(self, batch_k: dict) -> dict:
+        """Run one device batch from k <= batch_size occupied rows.
+
+        Transfers ONLY the occupied rows and pads to the compiled batch
+        size ON DEVICE (repeating row 0 — the micro-batcher's padding
+        convention), via a per-occupancy jitted concat that feeds the
+        one compiled model program. Host-side padding shipped the full
+        padded batch per request (~173 MB at canonical shapes); at
+        occupancy 1 that is 8x more H2D traffic than the real data —
+        ~3.5 s/request measured over the axon tunnel, and still 8x PCIe
+        bandwidth on a real TPU-VM host. The mesh path keeps host
+        padding (padded rows shard across devices)."""
+        k = next(iter(batch_k.values())).shape[0]
+        if k > self.batch_size:
+            raise ValueError(f"occupancy {k} > batch_size {self.batch_size}")
+        if self.mesh is not None:
+            if k < self.batch_size:
+                batch_k = {
+                    key: np.concatenate(
+                        [np.asarray(v)]
+                        + [np.asarray(v[:1])] * (self.batch_size - k),
+                        axis=0,
+                    )
+                    for key, v in batch_k.items()
+                }
+            return self([batch_k])[0]
+        dev = {key: jnp.asarray(v) for key, v in batch_k.items()}
+        if k < self.batch_size:
+            dev = self._pad_on_device(dev)
+        out = self._run_one(self.variables, dev)
+        return jax.device_get(out)
+
+    @functools.cached_property
+    def _pad_on_device(self):
+        pad_to = self.batch_size
+
+        @jax.jit  # tiny concat program; compiles per occupancy k
+        def pad(b):
+            return {
+                key: jnp.concatenate(
+                    [
+                        v,
+                        jnp.broadcast_to(
+                            v[:1], (pad_to - v.shape[0],) + v.shape[1:]
+                        ),
+                    ],
+                    axis=0,
+                )
+                for key, v in b.items()
+            }
+
+        return pad
 
     def __call__(self, batches: list[dict]) -> list[dict]:
         """batches: host batch dicts with STREAM_KEYS arrays of identical
