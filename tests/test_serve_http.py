@@ -376,3 +376,11 @@ def test_serve_cli_rejects_bad_task_and_devices():
     )
     with pytest.raises(SystemExit):
         serve_cli.build_server(args, tasks)
+
+
+def test_service_warmup_compiles_before_traffic(ground_service):
+    service, _, _ = ground_service
+    before = service.stats()["device_batches"]
+    service.warmup()
+    after = service.stats()
+    assert after["device_batches"] == before + 1

@@ -50,6 +50,9 @@ def parse_args(argv=None):
                    help="WordPiece vocab.txt (hash tokenizer when empty)")
     p.add_argument("--answer_vocab", type=str, default="",
                    help="answer-id -> text json list (answer task)")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip the pre-bind compile warmup (first client "
+                        "request pays the compile instead)")
     args = p.parse_args(argv)
 
     tasks = TASKS if args.task == "all" else tuple(
@@ -141,6 +144,11 @@ def build_server(args, tasks):
         )
         for task in tasks
     }
+    if not getattr(args, "no_warmup", False):
+        for task, svc in services.items():
+            print(f"| vlp3d-serve: warming up /v1/{task} "
+                  "(compiling device programs)...", flush=True)
+            svc.warmup()
     server = make_server(services, host=args.host, port=args.port)
     routes = ", ".join(f"/v1/{t}" for t in tasks)
     print(

@@ -382,6 +382,18 @@ class InferenceService:
             )
         return {"answers": answers}
 
+    def warmup(self) -> None:
+        """Compile the device programs before serving traffic: one
+        occupancy-1 batch through the predictor (the common cold path —
+        first compiles take 20 s to minutes on TPU, and a server should
+        pay that before it binds, not on the first client request)."""
+        pc = np.zeros((self.num_points, 3 + self.in_dim), np.float32)
+        req = {"point_cloud": pc}
+        if self.task in ("ground", "answer"):
+            req["queries"] = ["warmup"]
+        item, _ = self._make_item(req)
+        self._batcher.submit(item)
+
     def health(self) -> dict:
         return {
             "status": "ok",
