@@ -72,6 +72,32 @@ def test_caption_predictor_streams():
     assert np.array_equal(single["caption_ids"], outs[0]["caption_ids"])
 
 
+def test_caption_predictor_beam_mode():
+    """num_beams>1 swaps in beam_decode: same output contract (shape, CLS
+    start), deterministic across calls."""
+    from vlp3d.serving import CaptionPredictor
+
+    config = tiny_config(no_caption=False, use_con=False)
+    model = JointNet(config)
+    b0 = make_batch(config, batch_size=2, num_points=256, istrain=0)
+    variables = jax.jit(
+        lambda b: model.init({"params": jax.random.key(0)}, b, train=True)
+    )(b0)
+    pred = CaptionPredictor(config, variables, batch_size=2, num_beams=3)
+
+    batch = {
+        k: np.asarray(make_batch(config, batch_size=2, num_points=256)[k])
+        for k in STREAM_KEYS
+    }
+    out = pred([batch])[0]
+    k = config.model.num_proposal
+    t = config.model.max_des_len + 2
+    assert out["caption_ids"].shape == (2, k, t)
+    assert (out["caption_ids"][:, :, 0] == 101).all()
+    again = pred([batch])[0]
+    assert np.array_equal(out["caption_ids"], again["caption_ids"])
+
+
 def test_answer_predictor_topk():
     from vlp3d.serving import AnswerPredictor
 

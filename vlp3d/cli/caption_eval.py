@@ -38,7 +38,7 @@ def main(argv=None):
         score_captions,
     )
     from vlp3d.losses.detection import compute_objectness_loss
-    from vlp3d.models.caption import CaptionDecoder, greedy_decode
+    from vlp3d.models.caption import CaptionDecoder, beam_decode, greedy_decode
     from vlp3d.models.jointnet import JointNet
     from vlp3d.train import checkpoint as ckpt
     from vlp3d.train.optimizer import make_optimizer
@@ -52,6 +52,12 @@ def main(argv=None):
                         "caption_model / model_last)")
     p.add_argument("--out", type=str, default="",
                    help="optional json dump of the metric dict")
+    p.add_argument("--num_beams", type=int, default=1,
+                   help="beam width for caption decode (1 = greedy, the "
+                        "reference's effective setting; the reference's "
+                        "dormant num_beams knob, caption_module.py:261)")
+    p.add_argument("--length_penalty", type=float, default=1.0,
+                   help="beam-search length normalization exponent")
     args = p.parse_args(argv)
     args.no_caption = False
 
@@ -127,9 +133,15 @@ def main(argv=None):
         feats = out["aggregated_vote_features"]
         b, k, c = feats.shape
         obj_token = feats.reshape(b * k, 1, c)
-        ys = greedy_decode(
-            decoder, cap_vars, obj_token, config.model.max_des_len
-        )
+        if args.num_beams > 1:
+            ys, _ = beam_decode(
+                decoder, cap_vars, obj_token, config.model.max_des_len,
+                args.num_beams, length_penalty=args.length_penalty,
+            )
+        else:
+            ys = greedy_decode(
+                decoder, cap_vars, obj_token, config.model.max_des_len
+            )
         out["lang_cap_ids"] = np.asarray(ys).reshape(b, k, -1)
         assignment = assign_objects(
             jnp.asarray(out["aggregated_vote_xyz"]),

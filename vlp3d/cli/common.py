@@ -71,6 +71,10 @@ def add_common_args(p: argparse.ArgumentParser):
                         "(data, model) mesh with Megatron-style weight "
                         "shardings (TPU-native extension; the reference "
                         "is DataParallel-only)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard the AdamW moment buffers over the "
+                        "data axis (1/N optimizer memory per chip; "
+                        "composes with --tp)")
     p.add_argument("--synthetic", action="store_true",
                    help="use synthetic scenes (no ScanNet needed)")
     p.add_argument("--smoke", action="store_true",

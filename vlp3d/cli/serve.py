@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the pre-bind compile warmup (first client "
                         "request pays the compile instead)")
+    p.add_argument("--num_beams", type=int, default=1,
+                   help="caption-task beam width (1 = greedy; >1 trades "
+                        "~num_beams x decode cost for caption quality)")
     args = p.parse_args(argv)
 
     tasks = TASKS if args.task == "all" else tuple(
@@ -141,6 +144,7 @@ def build_server(args, tasks):
             batch_size=args.serve_batch_size,
             max_wait_ms=args.max_wait_ms,
             mesh=mesh,
+            num_beams=getattr(args, "num_beams", 1),
         )
         for task in tasks
     }

@@ -66,6 +66,7 @@ def main(argv=None):
         criterion=getattr(args, "criterion", "sum"),
         val_step=getattr(args, "val_step", 2000),
         tp=getattr(args, "tp", 1),
+        zero1=getattr(args, "zero1", False),
         seed=args.seed,
         use_wandb=getattr(args, "use_wandb", False),
         profile_dir=getattr(args, "profile_dir", "") or None,

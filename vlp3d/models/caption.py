@@ -37,6 +37,7 @@ from vlp3d.models.layers import RefLayerNorm
 
 PAD_ID = 0
 CLS_ID = 101
+SEP_ID = 102
 MASK_ID = 103
 
 
@@ -389,3 +390,138 @@ def greedy_decode_uncached(
     ys0 = jnp.full((n, t_total), PAD_ID, jnp.int32).at[:, 0].set(start_id)
     ys, _ = jax.lax.scan(step, ys0, jnp.arange(max_len + 1))
     return ys
+
+
+def beam_decode(
+    decoder_def: CaptionDecoder,
+    variables,
+    obj_token: jax.Array,  # (N, 1, d) — the proposal's feature (1x)
+    max_len: int,
+    num_beams: int,
+    *,
+    eos_id: int = SEP_ID,
+    length_penalty: float = 1.0,
+    min_len: int = 0,
+    start_id: int = CLS_ID,
+):
+    """Jitted fixed-shape beam search over the caption decoder.
+
+    The reference's xbert caption path carries a `num_beams` knob into HF
+    `generate` (caption_module.py:184,261) but every caller leaves it at
+    1 (greedy); this makes the dormant contract real, TPU-style: one
+    `lax.scan` over steps, all N*num_beams hypotheses decoded as one
+    KV-cached batch, `lax.top_k` over the (num_beams * vocab) candidate
+    scores per item, and per-layer K/V caches reordered with the
+    surviving beams each step. Everything is static-shaped — no
+    data-dependent control flow.
+
+    Semantics (standard beam search, documented rather than HF-exact —
+    the HF path is dormant in the reference):
+      * search ranks by cumulative log-prob; the returned hypothesis per
+        item maximizes score / gen_len**length_penalty, where gen_len
+        counts generated tokens including EOS;
+      * a beam that emits `eos_id` is frozen: it keeps competing with its
+        cumulative score while its continuation rows stay PAD;
+      * EOS is masked out before `min_len` generated tokens;
+      * at num_beams=1 this is greedy_decode (same cached step math,
+        token-exact up to and including the first EOS; past it greedy
+        keeps argmax-decoding junk rows while beam freezes to PAD — the
+        string cut at EOS is identical).
+
+    Returns (ys (N, max_len + 2) starting with CLS — greedy_decode's
+    output contract — and the winning normalized score (N,)).
+    """
+    n, _, d = obj_token.shape
+    nb = num_beams
+    t_total = max_len + 2  # CLS + max_len+1 generated steps
+    n_layers = decoder_def.n_layers
+    h = decoder_def.heads
+    dk = decoder_def.d_model // h
+    dtype = obj_token.dtype
+    vocab = decoder_def.vocab_size
+    neg_inf = jnp.float32(-1e9)
+
+    def apply_step(x_new, pos, keep, kc, vc):
+        return decoder_def.apply(
+            variables, x_new, pos, keep, kc, vc,
+            method=CaptionDecoder.decode_step_kv,
+        )
+
+    # prime the obj-indicator row once at N rows, then tile to N*nb
+    kc = tuple(jnp.zeros((n, t_total, h, dk), dtype) for _ in range(n_layers))
+    vc = tuple(jnp.zeros((n, t_total, h, dk), dtype) for _ in range(n_layers))
+    cols = jnp.arange(t_total)[None, :]
+    _, kc, vc = apply_step(obj_token, 0, cols == 0, kc, vc)
+    kc = tuple(jnp.repeat(c, nb, axis=0) for c in kc)
+    vc = tuple(jnp.repeat(c, nb, axis=0) for c in vc)
+
+    rows = n * nb
+    ys0 = jnp.full((rows, t_total), PAD_ID, jnp.int32).at[:, 0].set(start_id)
+    # beams within an item start identical: only beam 0 is live at step 0
+    # so top_k picks nb DISTINCT first tokens instead of nb copies
+    score0 = jnp.where(
+        jnp.arange(nb)[None, :] == 0, 0.0, neg_inf
+    ) * jnp.ones((n, 1))
+    done0 = jnp.zeros((n, nb), bool)
+    glen0 = jnp.zeros((n, nb), jnp.int32)
+
+    def reorder(x, parent):
+        """Gather the beam axis: x (N*nb, ...) by parent (N, nb)."""
+        shaped = x.reshape(n, nb, *x.shape[1:])
+        idx = parent.reshape(n, nb, *([1] * (x.ndim - 1)))
+        return jnp.take_along_axis(shaped, idx, axis=1).reshape(x.shape)
+
+    def step(carry, i):
+        ys, kc, vc, score, done, glen = carry
+        tok = jax.lax.dynamic_slice_in_dim(ys, i, 1, axis=1)  # (rows, 1)
+        x = decoder_def.apply(
+            variables, tok, i, method=CaptionDecoder.embed_row
+        )
+        toks_keep = jnp.concatenate(
+            [jnp.ones((rows, 1), bool), ys > 0], axis=1
+        )[:, :t_total]
+        keep = toks_keep & (cols <= i + 1)
+        logits, kc, vc = apply_step(x, i + 1, keep, kc, vc)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # EOS gated before min_len generated tokens (this step generates
+        # token number glen+1 for live beams)
+        eos_ok = (glen.reshape(rows) + 1) >= min_len
+        logp = logp.at[:, eos_id].set(
+            jnp.where(eos_ok, logp[:, eos_id], neg_inf)
+        )
+        # frozen beams may only "continue" with PAD at zero added cost
+        pad_onehot = jnp.where(
+            jnp.arange(vocab)[None, :] == PAD_ID, 0.0, neg_inf
+        )
+        logp = jnp.where(done.reshape(rows)[:, None], pad_onehot, logp)
+
+        cand = score[:, :, None] + logp.reshape(n, nb, vocab)
+        new_score, flat_idx = jax.lax.top_k(
+            cand.reshape(n, nb * vocab), nb
+        )
+        parent = flat_idx // vocab  # (N, nb)
+        token = (flat_idx % vocab).astype(jnp.int32)
+
+        ys = reorder(ys, parent)
+        kc = tuple(reorder(c, parent) for c in kc)
+        vc = tuple(reorder(c, parent) for c in vc)
+        done_p = jnp.take_along_axis(done, parent, axis=1)
+        glen_p = jnp.take_along_axis(glen, parent, axis=1)
+
+        write = jnp.where(done_p, PAD_ID, token)  # PAD rows stay PAD
+        ys = jax.lax.dynamic_update_slice_in_dim(
+            ys, write.reshape(rows, 1), i + 1, axis=1
+        )
+        glen = jnp.where(done_p, glen_p, glen_p + 1)
+        done = done_p | (~done_p & (token == eos_id))
+        return (ys, kc, vc, new_score, done, glen), None
+
+    (ys, _, _, score, done, glen), _ = jax.lax.scan(
+        step, (ys0, kc, vc, score0, done0, glen0), jnp.arange(max_len + 1)
+    )
+    norm = score / jnp.maximum(glen, 1).astype(jnp.float32) ** length_penalty
+    best = jnp.argmax(norm, axis=1)  # (N,)
+    ys = ys.reshape(n, nb, t_total)
+    ys_best = jnp.take_along_axis(ys, best[:, None, None], axis=1)[:, 0]
+    best_score = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
+    return ys_best, best_score

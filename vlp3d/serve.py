@@ -246,6 +246,7 @@ class InferenceService:
         max_wait_ms: float = 5.0,
         topk: int = 10,
         mesh=None,
+        num_beams: int = 1,
     ):
         from vlp3d.data.tokenizer import load_tokenizer
 
@@ -266,7 +267,7 @@ class InferenceService:
         elif task == "caption":
             self._pred = CaptionPredictor(
                 config, variables, caption_params=caption_params,
-                batch_size=batch_size, mesh=mesh,
+                batch_size=batch_size, mesh=mesh, num_beams=num_beams,
             )
         else:
             self._pred = AnswerPredictor(

@@ -187,7 +187,11 @@ class CaptionPredictor(_StreamingPredictor):
     `config` should have no_caption=True for the forward (the caption
     branch is train-only in JointNet); `variables` must still CONTAIN
     the trained `caption` submodule params — pass them via
-    `caption_params` when the forward variables lack them."""
+    `caption_params` when the forward variables lack them.
+
+    `num_beams > 1` switches the greedy decode for the fixed-shape beam
+    search (models/caption.py beam_decode) — higher caption quality at
+    ~num_beams x the decode cost."""
 
     def __init__(
         self,
@@ -197,8 +201,12 @@ class CaptionPredictor(_StreamingPredictor):
         caption_params=None,
         batch_size: int = 8,
         mesh: Mesh | None = None,
+        num_beams: int = 1,
+        length_penalty: float = 1.0,
     ):
-        from vlp3d.models.caption import CaptionDecoder, greedy_decode
+        from vlp3d.models.caption import (
+            CaptionDecoder, beam_decode, greedy_decode,
+        )
 
         cap = (
             caption_params
@@ -218,9 +226,15 @@ class CaptionPredictor(_StreamingPredictor):
             feats = out["aggregated_vote_features"]
             bsz, k, c = feats.shape
             obj_token = feats.reshape(bsz * k, 1, c)
-            ys = greedy_decode(
-                decoder, {"params": cap}, obj_token, max_des_len
-            )
+            if num_beams > 1:
+                ys, _ = beam_decode(
+                    decoder, {"params": cap}, obj_token, max_des_len,
+                    num_beams, length_penalty=length_penalty,
+                )
+            else:
+                ys = greedy_decode(
+                    decoder, {"params": cap}, obj_token, max_des_len
+                )
             return {
                 "caption_ids": ys.reshape(bsz, k, -1),
                 "pred_center": out["pred_center"],

@@ -64,6 +64,7 @@ class Solver:
         criterion: str = "sum",
         mesh=None,
         tp: int = 1,
+        zero1: bool = False,
         seed: int = 42,
         caption_eval_ctx: dict | None = None,
         use_wandb: bool = False,
@@ -100,6 +101,16 @@ class Solver:
         # shardings (parallel/tensor_parallel.py) — a TPU-native extension
         # beyond the reference's DataParallel-only story
         self.tp = tp
+        # zero1: shard the AdamW moment buffers over the data axis
+        # (parallel/zero.py) — ZeRO stage 1, 1/N optimizer memory per
+        # chip; composes with tp (single-process meshes only)
+        self.zero1 = zero1
+        if zero1 and jax.process_count() > 1:
+            raise ValueError(
+                "zero1 currently supports single-process meshes only "
+                "(multi-host state placement goes through "
+                "distributed.replicate_global)"
+            )
         if mesh is not None:
             self.mesh = mesh
         elif tp > 1:
@@ -249,16 +260,32 @@ class Solver:
         self.state = create_state(
             model, self.optimizer, sample_batch, self.config.train.seed
         )
+        self.state = self._place_state(self.state)
+
+    def _place_state(self, new_state):
+        """Put a host/train state onto the mesh with this solver's
+        placement policy (multi-host replication / TP weight shardings /
+        ZeRO-1 moment shardings / plain replication)."""
         if self.n_proc > 1:
             from vlp3d.parallel.distributed import replicate_global
 
-            self.state = replicate_global(self.mesh, self.state)
-        elif self.tp > 1:
+            return replicate_global(
+                self.mesh, jax.tree.map(np.asarray, new_state)
+            )
+        if self.zero1:
+            from vlp3d.parallel.zero import zero_shard_state
+
+            param_fn = None
+            if self.tp > 1:
+                from vlp3d.parallel.tensor_parallel import shard_params
+
+                param_fn = lambda p: shard_params(self.mesh, p)  # noqa: E731
+            return zero_shard_state(self.mesh, new_state, param_fn=param_fn)
+        if self.tp > 1:
             from vlp3d.parallel.tensor_parallel import shard_state
 
-            self.state = shard_state(self.mesh, self.state)
-        else:
-            self.state = replicate(self.mesh, self.state)
+            return shard_state(self.mesh, new_state)
+        return replicate(self.mesh, new_state)
 
     def _shard(self, arrays: dict) -> dict:
         """Host batch dict -> device-sharded batch.
@@ -708,17 +735,7 @@ class Solver:
                 batch_stats=merged["batch_stats"],
             )
         )
-        if self.n_proc > 1:
-            from vlp3d.parallel.distributed import replicate_global
-
-            self.state = replicate_global(
-                self.mesh, jax.tree.map(np.asarray, new_state)
-            )
-        elif self.tp > 1:
-            # keep the Megatron weight shardings the state was created with
-            from vlp3d.parallel.tensor_parallel import shard_state
-
-            self.state = shard_state(self.mesh, new_state)
-        else:
-            self.state = replicate(self.mesh, new_state)
+        # keep the placement (Megatron/ZeRO shardings) the state was
+        # created with
+        self.state = self._place_state(new_state)
         return n_restored, n_skipped
