@@ -171,6 +171,68 @@ def main() -> None:
     print(f"DIST_TP_OK rank={ctx.rank} loss={tl:.8f} gnorm={gnorm:.8f}",
           flush=True)
 
+    # ---- ZeRO-1 ACROSS the process boundary ------------------------------
+    # Moment buffers shard 1/N over the GLOBAL data axis (each process
+    # holds half of every large moment), placed via place_global — the
+    # sharded-placement path device_put cannot do on non-addressable
+    # shardings. out_shardings are pinned to the input layout, so the
+    # optimizer-state layout is a fixed point of the step across hosts.
+    from vlp3d.parallel.distributed import place_global
+    from vlp3d.parallel.zero import opt_state_pspecs
+
+    zparams = {
+        "w1": rng.normal(size=(3, 8192)).astype(np.float32) * 0.1,
+        "w2": rng.normal(size=(8192, 3)).astype(np.float32) * 0.1,
+    }
+    zopt = optimizer.init(zparams)
+    ospecs = opt_state_pspecs(zopt, mesh.shape["data"], params=zparams)
+    zparams = replicate_global(mesh, zparams)
+    zopt = place_global(mesh, zopt, ospecs)
+    n_sharded = sum(
+        1 for leaf in jax.tree.leaves(zopt)
+        if hasattr(leaf, "sharding") and not leaf.sharding.is_fully_replicated
+    )
+    assert n_sharded >= 4, n_sharded  # mu+nu of both kernels at least
+
+    def z_step(params, opt_state, batch):
+        def loss_fn(p):
+            h = jnp.maximum(batch["point_clouds"] @ p["w1"], 0.0)
+            pred = jnp.mean(h, axis=1) @ p["w2"]
+            return jnp.mean((pred - batch["center_label"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    shard_of = lambda t: jax.tree.map(lambda x: x.sharding, t)  # noqa: E731
+    zjit = jax.jit(
+        z_step,
+        out_shardings=(
+            shard_of(zparams), shard_of(zopt),
+            jax.sharding.NamedSharding(mesh, P()),
+        ),
+    )
+    compiled_z = zjit.lower(zparams, zopt, sharded).compile()
+    barrier("dist_worker_zero_compiled")
+    in_specs = [s.spec for s in jax.tree.leaves(shard_of(zopt))]
+    for _ in range(2):
+        zparams, zopt, zloss = compiled_z(zparams, zopt, sharded)
+    zloss = float(zloss)
+    out_specs = [s.spec for s in jax.tree.leaves(shard_of(zopt))]
+    assert in_specs == out_specs, "opt-state layout drifted across steps"
+    n_still = sum(
+        1 for leaf in jax.tree.leaves(zopt)
+        if hasattr(leaf, "sharding") and not leaf.sharding.is_fully_replicated
+    )
+    assert n_still == n_sharded, (n_still, n_sharded)
+    assert np.isfinite(zloss), zloss
+    print(
+        f"DIST_ZERO_OK rank={ctx.rank} loss={zloss:.8f} zshards={n_sharded}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

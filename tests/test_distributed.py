@@ -102,6 +102,20 @@ def test_two_process_train_step(mode):
         tp_vals.append((float(m.group(1)), float(m.group(2))))
     assert tp_vals[0] == tp_vals[1], tp_vals
 
+    # ZeRO-1 across the process boundary: the AdamW moments shard 1/4
+    # over the global data axis (each process holds half), placed via
+    # place_global, stepped with pinned out_shardings — equal losses
+    # prove the partitioned update + cross-host all-gather agree
+    z_vals = []
+    for rank, _, out, _ in results:
+        m = re.search(
+            rf"DIST_ZERO_OK rank={rank} loss=([-\d.einf]+) zshards=(\d+)",
+            out,
+        )
+        assert m, f"no DIST_ZERO_OK from rank {rank}: {out[-2000:]}"
+        z_vals.append((float(m.group(1)), int(m.group(2))))
+    assert z_vals[0] == z_vals[1], z_vals
+
 
 def test_dist_init_noop_without_rendezvous():
     """Single-process: dist_init is a no-op (reference dist.py:33-36)."""

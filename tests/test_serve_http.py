@@ -334,17 +334,34 @@ def test_multi_task_server_shares_checkpoint():
             s.close()
 
 
-def test_serve_cli_build_and_roundtrip():
+def test_serve_cli_build_and_roundtrip(tmp_path):
     """vlp3d-serve startup path end-to-end: parse_args + build_server on
-    the tiny --smoke config, one HTTP round trip, clean shutdown."""
+    the tiny --smoke config, one HTTP round trip, clean shutdown; the
+    --compile_cache_dir persistent cache must be populated by the warmup
+    compiles (warm restarts skip the multi-minute compile)."""
     from vlp3d.cli import serve as serve_cli
 
+    cache_dir = str(tmp_path / "serve_cache")
+    prev_cache = getattr(jax.config, "jax_compilation_cache_dir", None)
     args, tasks = serve_cli.parse_args(
         ["--smoke", "--task", "ground", "--port", "0",
-         "--serve_batch_size", str(BATCH)]
+         "--serve_batch_size", str(BATCH),
+         "--compile_cache_dir", cache_dir]
     )
     assert tasks == ("ground",)
-    server, services = serve_cli.build_server(args, tasks)
+    try:
+        server, services = serve_cli.build_server(args, tasks)
+    finally:
+        # restore the suite-wide cache dir set by conftest
+        if prev_cache:
+            from vlp3d.utils.jitcache import enable_persistent_cache
+
+            enable_persistent_cache(prev_cache)
+    import os
+
+    assert os.path.isdir(cache_dir) and os.listdir(cache_dir), (
+        "warmup compiles did not populate the persistent cache"
+    )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     try:

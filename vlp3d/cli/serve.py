@@ -53,6 +53,14 @@ def parse_args(argv=None):
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the pre-bind compile warmup (first client "
                         "request pays the compile instead)")
+    p.add_argument("--compile_cache_dir", type=str, default=None,
+                   help="persistent XLA compilation cache dir (default: "
+                        "the repo-level .jax_cache_tpu, or $VLP3D_JIT_CACHE)"
+                        " — a warm restart of the same (checkpoint, shapes)"
+                        " skips the warmup compile on a local TPU runtime; "
+                        "pass 'off' to disable. On the tunneled axon relay "
+                        "the default is off (warm loads measured slower "
+                        "than the relay's own compile cache; PERF.md)")
     p.add_argument("--num_beams", type=int, default=1,
                    help="caption-task beam width (1 = greedy; >1 trades "
                         "~num_beams x decode cost for caption quality)")
@@ -83,6 +91,25 @@ def build_server(args, tasks):
     from vlp3d.models.jointnet import JointNet
     from vlp3d.serve import InferenceService, make_server
     from vlp3d.train import checkpoint as ckpt
+
+    # persistent compile cache: the warmup compile (~minutes on TPU for
+    # the canonical shapes) is paid once per (program, shapes) — a server
+    # restart with the same flags warms from disk in seconds (measured
+    # cold vs warm in PERF.md). An explicit --compile_cache_dir wins; an
+    # already-configured jax cache (test conftest, embedding app) is kept.
+    explicit = getattr(args, "compile_cache_dir", None)
+    if explicit != "off":
+        from vlp3d.utils.jitcache import enable_persistent_cache
+
+        cache_dir = enable_persistent_cache(explicit or None)
+        print(
+            f"| vlp3d-serve: compile cache at {cache_dir}" if cache_dir
+            else "| vlp3d-serve: compile cache off (axon relay: warm "
+                 "executable loads measured slower than the relay's own "
+                 "compile cache — PERF.md; pass --compile_cache_dir to "
+                 "force)",
+            flush=True,
+        )
 
     config = resolve_config(args)
     # the served tasks decide which heads the model carries

@@ -316,8 +316,9 @@ def check_predict_contract(args, env) -> dict:
             })
     for r in records:
         assert np.asarray(r["bbox"]).shape == (8, 3), r
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(args.out)) or ".", "pred.json")
+    # name the artifact after the report so parallel runs / round
+    # archives don't collide on a bare pred.json
+    out_path = os.path.splitext(os.path.abspath(args.out))[0] + "_pred.json"
     with open(out_path, "w") as f:
         json.dump(records, f)
     return {"status": "ok", "records": len(records),
@@ -533,7 +534,20 @@ def main(argv=None):
     p.add_argument("--max_annotations", type=int, default=8)
     p.add_argument("--no_caption", action="store_true")
     p.add_argument("--out", default="validate_report.json")
+    p.add_argument("--synthetic_standins", default="",
+                   help="generate synthetic stand-in assets (real-asset "
+                        "layouts, vlp3d.data.standins) into this dir and "
+                        "run every check against them — the per-round "
+                        "runbook-rot guard; explicit asset flags win")
     args = p.parse_args(argv)
+
+    if args.synthetic_standins:
+        from vlp3d.data.standins import write_standin_assets
+
+        paths = write_standin_assets(args.synthetic_standins)
+        for flag, path in paths.items():
+            if not getattr(args, flag):
+                setattr(args, flag, path)
 
     from vlp3d.utils.jitcache import enable_persistent_cache
 

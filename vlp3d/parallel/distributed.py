@@ -171,6 +171,30 @@ def replicate_global(mesh: Mesh, tree):
     return jax.tree.map(put, tree)
 
 
+def place_global(mesh: Mesh, tree, specs=None):
+    """Place a host-identical pytree across a (possibly multi-host) mesh
+    with ARBITRARY per-leaf PartitionSpecs — the sharded-placement
+    sibling of `replicate_global` that ZeRO-1 needs under
+    jax.distributed (VERDICT r03 item 5). Every process holds the full
+    host value (true for seeded init); each device materializes only its
+    own shard via `jax.make_array_from_callback`, so non-fully-
+    addressable shardings work. Non-array leaves (optax.MaskedNode) pass
+    through; `specs=None` replicates everything."""
+    if specs is None:
+        specs = jax.tree.map(lambda _: P(), tree)
+
+    def put(x, spec):
+        if not hasattr(x, "ndim"):
+            return x
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+    return jax.tree.map(put, tree, specs)
+
+
 def shard_host_batch(
     mesh: Mesh,
     batch: dict,

@@ -14,16 +14,26 @@ AMSGrad's nu_max) drop to 1/N per chip. Params and grads stay
 replicated (stage 1; the model here is activation-dominated, so stages
 2/3 buy little for their collective cost).
 
-Composition: specs are derived per-leaf, so this works on any mesh that
-has a 'data' axis — including the 2D (data, model) TP mesh, where the
-TP-replicated modules' moments shard over data while TP-sharded params'
-moments keep P() (their dims rarely divide both axes; see
-opt_state_pspecs). Single-process meshes only: multi-host (DCN) setups
-replicate state via `distributed.replicate_global`, whose
-process-local-data path doesn't cover arbitrary sharded puts.
+Composition with TP: each moment's spec is derived FROM its param's
+spec — a TP-sharded param gets TP-sharded moments (same 'model' axes),
+then ONE remaining free dim is additionally split over 'data'. That
+makes the moment layout the natural fixed point of the jitted train
+step: the elementwise Adam update of a P(None,'model') param against a
+P('data','model') moment partitions along both axes with no resharding,
+so GSPMD propagation cannot drift the layout step-to-step (the round-3
+failure mode: shape-only specs replicated TP params' moments, and one
+step re-sharded 296 leaves over 'model'). Callers additionally pin the
+train step's out_shardings to the input layout (see state_shardings) so
+stability is guaranteed by construction, not propagation luck.
+
+Multi-host: placement goes through `place_global` (device_put cannot
+target non-addressable shardings; jax.make_array_from_callback can) —
+`Solver(zero1=True)` composes with jax.distributed DCN meshes.
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -36,9 +46,15 @@ from vlp3d.parallel.mesh import DATA_AXIS
 MIN_SHARD_ELEMS = 1 << 14
 
 
+def _is_array_like(leaf) -> bool:
+    return hasattr(leaf, "ndim") and hasattr(leaf, "shape")
+
+
 def _leaf_spec(leaf, n_data: int) -> P:
-    """First dim divisible by n_data gets the data axis; else replicate."""
-    if not (hasattr(leaf, "ndim") and hasattr(leaf, "shape")):
+    """Shape-only fallback: first dim divisible by n_data gets the data
+    axis; else replicate. Used for opt-state leaves that do not mirror a
+    param (schedule buffers, counts)."""
+    if not _is_array_like(leaf):
         return P()
     if leaf.ndim < 1 or leaf.size < MIN_SHARD_ELEMS:
         return P()
@@ -52,36 +68,117 @@ def _leaf_spec(leaf, n_data: int) -> P:
     return P()
 
 
-def opt_state_pspecs(opt_state, n_data: int):
+def _moment_spec(shape, dtype, param_spec: P, n_data: int) -> P:
+    """Spec for a moment buffer mirroring a param with spec `param_spec`:
+    keep the param's axes (TP 'model' shardings carry over — strictly
+    less memory AND the layout the elementwise update naturally
+    produces), then split ONE remaining free dim over 'data' (ZeRO-1)."""
+    if jnp.issubdtype(dtype, jax.dtypes.extended):
+        return P()
+    spec = list(param_spec) + [None] * (len(shape) - len(param_spec))
+    if math.prod(shape) >= MIN_SHARD_ELEMS:
+        for d in range(len(shape)):
+            if (
+                spec[d] is None
+                and shape[d] >= n_data
+                and shape[d] % n_data == 0
+            ):
+                spec[d] = DATA_AXIS
+                break
+    while spec and spec[-1] is None:
+        spec.pop()
+    return P(*spec)
+
+
+def _str_path(path) -> tuple:
+    return tuple(str(getattr(k, "key", k)) for k in path)
+
+
+def _param_lookup(params, param_specs):
+    """{param path (tuple of str dict keys): (shape, PartitionSpec)}.
+
+    param_specs may be None (all replicated) or a same-structure pytree
+    of PartitionSpec (e.g. tensor_parallel.param_pspecs output)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    if param_specs is None:
+        specs = [P()] * len(flat)
+    else:
+        specs = jax.tree.leaves(
+            param_specs, is_leaf=lambda x: isinstance(x, P)
+        )
+        assert len(specs) == len(flat), (len(specs), len(flat))
+    return {
+        _str_path(path): (tuple(leaf.shape), spec)
+        for (path, leaf), spec in zip(flat, specs)
+    }
+
+
+def opt_state_pspecs(opt_state, n_data: int, *, params=None, param_specs=None):
     """PartitionSpec pytree for an optax state tree.
 
-    Array leaves (Adam mu/nu/nu_max, schedule buffers) shard their first
-    n_data-divisible dim; scalars (counts), optax.MaskedNode
-    placeholders (the frozen-BERT subtree under multi_transform), and
-    small buffers replicate."""
-    return jax.tree.map(lambda leaf: _leaf_spec(leaf, n_data), opt_state)
+    Moment leaves (Adam mu/nu/nu_max) are matched back to their param by
+    path suffix (optax state paths end with the full param dict-key
+    path) and get `_moment_spec(param_spec)` — param-aware, so TP
+    shardings carry over. Leaves with no param match (counts, schedule
+    buffers), scalars, optax.MaskedNode placeholders (the frozen-BERT
+    subtree under multi_transform), and small buffers use the shape-only
+    fallback / replicate."""
+    lookup = _param_lookup(params, param_specs) if params is not None else {}
+
+    def spec_for(path, leaf):
+        if not _is_array_like(leaf) or leaf.ndim < 1:
+            return P()
+        sp = _str_path(path)
+        shape = tuple(leaf.shape)
+        for k in range(len(sp) - 1, 0, -1):  # longest suffix first
+            hit = lookup.get(sp[-k:])
+            if hit is not None and hit[0] == shape:
+                return _moment_spec(shape, leaf.dtype, hit[1], n_data)
+        return _leaf_spec(leaf, n_data)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    return jax.tree_util.tree_unflatten(
+        treedef, [spec_for(path, leaf) for path, leaf in flat]
+    )
 
 
-def shard_opt_state(mesh: Mesh, opt_state):
+def shard_opt_state(mesh: Mesh, opt_state, *, params=None, param_specs=None):
     """device_put each optimizer-state leaf with its ZeRO-1 sharding."""
     n_data = mesh.shape[DATA_AXIS]
-    specs = opt_state_pspecs(opt_state, n_data)
+    specs = opt_state_pspecs(
+        opt_state, n_data, params=params, param_specs=param_specs
+    )
 
     def put(leaf, spec):
-        if not hasattr(leaf, "ndim"):  # MaskedNode etc.
+        if not _is_array_like(leaf):  # MaskedNode etc.
             return leaf
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, opt_state, specs)
 
 
+def _tp_param_specs(mesh: Mesh, params):
+    """TP PartitionSpec tree when the mesh has a >1 'model' axis."""
+    from vlp3d.parallel.tensor_parallel import MODEL_AXIS, param_pspecs
+
+    if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
+        return param_pspecs(params, mesh.shape[MODEL_AXIS])
+    return None
+
+
 def zero_shard_state(mesh: Mesh, state, *, param_fn=None):
     """TrainState with ZeRO-1-sharded opt_state.
 
-    params/batch_stats/step replicate by default; pass `param_fn`
-    (e.g. tensor_parallel.shard_params bound to the mesh) to compose
-    with TP weight shardings on a 2D mesh."""
+    params/batch_stats/step replicate by default; on a 2D (data, model)
+    mesh the TP weight shardings are applied automatically (or pass
+    `param_fn` to override) and the moment specs are derived from the
+    param specs so the two layouts compose."""
     repl = NamedSharding(mesh, P())
+    param_specs = _tp_param_specs(mesh, state.params)
+    if param_fn is None and param_specs is not None:
+        from vlp3d.parallel.tensor_parallel import shard_params
+
+        param_fn = lambda p: shard_params(mesh, p)  # noqa: E731
     params = (
         param_fn(state.params) if param_fn is not None
         else jax.device_put(state.params, repl)
@@ -90,5 +187,29 @@ def zero_shard_state(mesh: Mesh, state, *, param_fn=None):
         step=jax.device_put(state.step, repl),
         params=params,
         batch_stats=jax.device_put(state.batch_stats, repl),
-        opt_state=shard_opt_state(mesh, state.opt_state),
+        opt_state=shard_opt_state(
+            mesh, state.opt_state,
+            params=state.params, param_specs=param_specs,
+        ),
     )
+
+
+def state_shardings(state):
+    """Sharding pytree of a placed TrainState — pass as the train step's
+    out_shardings (paired with a replicated sharding for the metrics) so
+    the state layout is a fixed point of the step by construction."""
+    return jax.tree.map(lambda x: x.sharding, state)
+
+
+def opt_state_bytes_per_device(opt_state, device=None) -> int:
+    """Bytes of optimizer state resident on ONE device — the measured
+    ZeRO-1 saving (VERDICT r03 item 4): replicated state costs the full
+    tree per chip, ZeRO-1 costs ~1/N of every large moment."""
+    if device is None:
+        device = jax.devices()[0]
+    total = 0
+    for leaf in jax.tree.leaves(opt_state):
+        for shard in getattr(leaf, "addressable_shards", ()):
+            if shard.device == device:
+                total += shard.data.size * shard.data.dtype.itemsize
+    return total

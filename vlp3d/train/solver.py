@@ -103,14 +103,9 @@ class Solver:
         self.tp = tp
         # zero1: shard the AdamW moment buffers over the data axis
         # (parallel/zero.py) — ZeRO stage 1, 1/N optimizer memory per
-        # chip; composes with tp (single-process meshes only)
+        # chip; composes with tp (2D-mesh param-aware moment specs) and
+        # with multi-host DCN meshes (distributed.place_global)
         self.zero1 = zero1
-        if zero1 and jax.process_count() > 1:
-            raise ValueError(
-                "zero1 currently supports single-process meshes only "
-                "(multi-host state placement goes through "
-                "distributed.replicate_global)"
-            )
         if mesh is not None:
             self.mesh = mesh
         elif tp > 1:
@@ -222,7 +217,26 @@ class Solver:
         """model + jitted train/eval steps for this epoch's BN momentum
         (recompiles only when the momentum value changes)."""
         m = round(self._bn_momentum(epoch), 6)
-        if m not in self._model_cache:
+        # once a placed state exists, its layout is pinned as the train
+        # step's out_shardings so the state sharding is a fixed point of
+        # the step BY CONSTRUCTION — GSPMD propagation is free to choose
+        # internal layouts but cannot drift the carried state (the round-3
+        # ZeRO x TP failure: 296 moment leaves re-sharded after one step,
+        # forcing a step-2 recompile). init_state/warm_start clear the
+        # cache after (re)placement so pinning applies from step 0.
+        placed = self.state is not None
+        key = (m, placed)
+        if key not in self._model_cache:
+            train_out_shardings = None
+            if placed:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                from vlp3d.parallel.zero import state_shardings
+
+                train_out_shardings = (
+                    state_shardings(self.state),
+                    NamedSharding(self.mesh, PartitionSpec()),
+                )
             model = JointNet(self.config, bn_momentum=m)
             train_step = jax.jit(
                 make_train_step(
@@ -232,7 +246,8 @@ class Solver:
                     caption=self.caption,
                     reference=self.reference,
                     detection=self.detection,
-                )
+                ),
+                out_shardings=train_out_shardings,
             )
             # multi-host: replicate eval outputs (an all-gather at step
             # end) so host-side eval code can device_get the full global
@@ -252,8 +267,8 @@ class Solver:
                 ),
                 out_shardings=eval_out_shardings,
             )
-            self._model_cache[m] = (model, train_step, eval_step)
-        return self._model_cache[m]
+            self._model_cache[key] = (model, train_step, eval_step)
+        return self._model_cache[key]
 
     def init_state(self, sample_batch: dict):
         model, _, _ = self._get_steps(0)
@@ -261,17 +276,38 @@ class Solver:
             model, self.optimizer, sample_batch, self.config.train.seed
         )
         self.state = self._place_state(self.state)
+        # re-jit with out_shardings pinned to the placed layout
+        self._model_cache.clear()
 
     def _place_state(self, new_state):
         """Put a host/train state onto the mesh with this solver's
         placement policy (multi-host replication / TP weight shardings /
         ZeRO-1 moment shardings / plain replication)."""
         if self.n_proc > 1:
-            from vlp3d.parallel.distributed import replicate_global
-
-            return replicate_global(
-                self.mesh, jax.tree.map(np.asarray, new_state)
+            from vlp3d.parallel.distributed import (
+                place_global, replicate_global,
             )
+
+            host = jax.tree.map(np.asarray, new_state)
+            if not self.zero1:
+                return replicate_global(self.mesh, host)
+            # ZeRO-1 x multi-host: moments shard 1/N over the global
+            # data axis; params/batch_stats/step replicate. device_put
+            # cannot target non-addressable shardings — place_global can.
+            from jax.sharding import PartitionSpec as P
+
+            from vlp3d.parallel.mesh import DATA_AXIS
+            from vlp3d.parallel.zero import opt_state_pspecs
+
+            specs = jax.tree.map(lambda _: P(), host)
+            specs = specs.replace(
+                opt_state=opt_state_pspecs(
+                    host.opt_state,
+                    self.mesh.shape[DATA_AXIS],
+                    params=host.params,
+                )
+            )
+            return place_global(self.mesh, host, specs)
         if self.zero1:
             from vlp3d.parallel.zero import zero_shard_state
 

@@ -19,16 +19,63 @@ _DEFAULT = os.path.join(
 )
 
 
+def backend_is_axon_relay() -> bool:
+    """True when the TPU backend is the tunneled axon relay.
+
+    The relay runs its own server-side compile cache, and LOADING a big
+    serialized executable through the tunnel measured 3-10x SLOWER than
+    letting that remote cache serve the compile (PERF.md round 4:
+    vlp3d-serve canonical-shape startup 64 s cold vs 282-690 s
+    warm-from-disk, reproducibly, quiet host; small programs still win,
+    12.7 s -> 1.0 s). So the no-explicit-dir default skips the on-disk
+    cache here; a real local TPU runtime deserializes locally in
+    milliseconds and keeps the default cache.
+    """
+    try:
+        import jax._src.xla_bridge as xb
+
+        ver = getattr(xb.get_backend(), "platform_version", "") or ""
+    except Exception:
+        return False
+    return "axon" in ver
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
     """Point jax at an on-disk compilation cache (idempotent).
 
-    Must be called before the first compilation to be effective; safe to
-    call after jax import. Returns the cache directory used.
+    Resolution: an explicit `cache_dir` (or $VLP3D_JIT_CACHE) always
+    wins; otherwise a cache dir that is ALREADY configured (test
+    conftest, an embedding application) is kept; otherwise the repo
+    default — EXCEPT on the axon relay backend, where the measured
+    net value of warm big-executable loads is negative (see
+    backend_is_axon_relay) and the default is to leave the cache off
+    (returns ""). Safe to call mid-process: the lazily-created cache
+    singleton is reset when the directory changes. Returns the cache
+    directory in effect ("" = disabled).
     """
     import jax
 
-    cache_dir = cache_dir or os.environ.get("VLP3D_JIT_CACHE", _DEFAULT)
+    explicit = cache_dir or os.environ.get("VLP3D_JIT_CACHE")
+    current = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if not explicit and current:
+        return current
+    if not explicit and backend_is_axon_relay():
+        return ""
+    cache_dir = explicit or _DEFAULT
+    changed = current != cache_dir
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    if changed:
+        # the cache backend is a lazily-created singleton: if anything
+        # compiled before this call, the old dir is latched — drop it so
+        # the new dir takes effect mid-process
+        try:
+            from jax.experimental.compilation_cache import (
+                compilation_cache as _cc,
+            )
+
+            _cc.reset_cache()
+        except Exception:
+            pass  # never let cache plumbing break the caller
     return cache_dir
