@@ -75,6 +75,12 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="ZeRO-1: shard the AdamW moment buffers over the "
                         "data axis (1/N optimizer memory per chip; "
                         "composes with --tp)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient accumulation: mean grads over K "
+                        "micro-batches, one optimizer update per K "
+                        "(effective batch = K x batch_size; LR schedules "
+                        "count effective updates; composes with --tp/"
+                        "--zero1)")
     p.add_argument("--synthetic", action="store_true",
                    help="use synthetic scenes (no ScanNet needed)")
     p.add_argument("--smoke", action="store_true",

@@ -67,6 +67,7 @@ def main(argv=None):
         val_step=getattr(args, "val_step", 2000),
         tp=getattr(args, "tp", 1),
         zero1=getattr(args, "zero1", False),
+        grad_accum=getattr(args, "grad_accum", 1),
         seed=args.seed,
         use_wandb=getattr(args, "use_wandb", False),
         profile_dir=getattr(args, "profile_dir", "") or None,

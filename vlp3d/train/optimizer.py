@@ -103,6 +103,7 @@ def make_optimizer(
     optim_name: str = "adamw",
     single_group: bool = False,
     clip_grad_value: float = 0.0,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """lr_schedule maps (epoch, group_base_lr) -> absolute LR for that
     group. torch LR schedulers run per param group on the group's own
@@ -124,6 +125,17 @@ def make_optimizer(
     caption split. clip_grad_value > 0: clip raw gradient VALUES first
     (the VQA solver's nn.utils.clip_grad_value_, lib/vqa/solver.py:
     336-339 — clip_grad_value_, despite the arg's max_grad_norm name).
+
+    grad_accum > 1: gradient accumulation (a scaling knob the reference
+    lacks) — grads are MEANed over grad_accum consecutive micro-steps
+    and the inner update (moments, LR count, weight decay) runs once per
+    effective step, so grad_accum micro-batches reproduce one step at
+    grad_accum x batch_size exactly (batch-mean losses; BN running
+    stats still update per micro-batch — the same deviation any
+    accumulation scheme has). The accumulator tree mirrors the params,
+    so ZeRO-1's param-aware moment sharding covers it too. LR schedules
+    count EFFECTIVE updates: callers pass steps_per_epoch already
+    divided by grad_accum (solver does this).
     """
 
     def sched(lr0):
@@ -167,4 +179,7 @@ def make_optimizer(
     )
     if clip_grad_value and clip_grad_value > 0:
         tx = optax.chain(optax.clip(clip_grad_value), tx)
+    if grad_accum and grad_accum > 1:
+        ms = optax.MultiSteps(tx, every_k_schedule=int(grad_accum))
+        tx = optax.GradientTransformation(ms.init, ms.update)
     return tx

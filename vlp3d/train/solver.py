@@ -65,6 +65,7 @@ class Solver:
         mesh=None,
         tp: int = 1,
         zero1: bool = False,
+        grad_accum: int = 1,
         seed: int = 42,
         caption_eval_ctx: dict | None = None,
         use_wandb: bool = False,
@@ -137,8 +138,16 @@ class Solver:
         self.timers = PhaseTimers()
         self.mean_size_arr = config.dataset.mean_size_arr()
 
+        # grad_accum > 1: mean grads over k micro-batches, one optimizer
+        # update per k (effective batch = k x batch_size; LR schedules
+        # count effective updates). Composes with tp / zero1 / multi-host
+        # — the accumulator tree mirrors the params, so the ZeRO
+        # param-aware specs shard it like a moment.
+        self.grad_accum = max(int(grad_accum), 1)
         steps_per_epoch = max(
-            len(train_dataset) // config.train.batch_size, 1
+            len(train_dataset)
+            // (config.train.batch_size * self.grad_accum),
+            1,
         )
         # schedule selection mirrors train_3dvlp.py:180-196: --coslr ->
         # CosineAnnealingLR(T_max=min(epoch,200), eta_min=1e-5) applied
@@ -168,6 +177,7 @@ class Solver:
             optim_name=config.train.optim_name,
             single_group=config.train.single_lr_group,
             clip_grad_value=config.train.clip_grad_value,
+            grad_accum=self.grad_accum,
         )
         self._model_cache: dict = {}
         self.state: TrainState | None = None
