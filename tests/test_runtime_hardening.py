@@ -101,3 +101,38 @@ def test_profile_trace_and_sigterm(tmp_path):
         if '"interrupt"' in line
     ]
     assert interrupts and interrupts[-1]["epoch"] == 0
+
+
+def test_device_memory_helper(monkeypatch):
+    """device_memory_mb: {} on backends without memory_stats (this CPU
+    suite), populated MB fields when the device reports bytes."""
+    import jax
+
+    from vlp3d.utils import memory as mem
+
+    out = mem.device_memory_mb()
+    assert isinstance(out, dict)  # CPU/axon: {} is acceptable
+    for v in out.values():
+        assert v >= 0
+
+    class FakeDev:
+        def memory_stats(self):
+            return {
+                "bytes_in_use": 1_500_000,
+                "peak_bytes_in_use": 2_000_000,
+                "bytes_limit": 16_000_000_000,
+                "num_allocs": 7,  # ignored
+            }
+
+    got = mem.device_memory_mb(FakeDev())
+    assert got == {
+        "hbm_in_use_mb": 1.5,
+        "hbm_peak_mb": 2.0,
+        "hbm_limit_mb": 16000.0,
+    }
+
+    class BrokenDev:
+        def memory_stats(self):
+            raise RuntimeError("unsupported")
+
+    assert mem.device_memory_mb(BrokenDev()) == {}

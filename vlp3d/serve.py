@@ -409,6 +409,11 @@ class InferenceService:
         s = dict(self._batcher.stats)
         s["mean_occupancy"] = s["requests"] / max(s["device_batches"], 1)
         s.update(self._batcher.latency_stats())
+        # per-device HBM usage when the backend reports it ({} on the
+        # axon relay / CPU) — fleet managers watch this for leaks
+        from vlp3d.utils.memory import device_memory_mb
+
+        s.update(device_memory_mb())
         return s
 
 

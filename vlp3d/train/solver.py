@@ -437,6 +437,15 @@ class Solver:
         if self._profiling:  # epoch shorter than the profile window
             jax.profiler.stop_trace()
             self._profiling = False
+        # per-device HBM high-water mark (the number that decides whether
+        # a config fits; {} on backends without memory_stats — SURVEY §5
+        # observability, a dimension the reference lacks entirely)
+        from vlp3d.utils.memory import device_memory_mb
+
+        mem = device_memory_mb()
+        if mem:
+            self._log({"phase": "memory", "epoch": epoch, **mem})
+            self._tb_train.add_scalars(mem, self._global_step, prefix="mem/")
         return {
             k: float(np.mean([a[k] for a in agg]))
             for k in agg[0]
