@@ -1,0 +1,142 @@
+"""Backbone rematerialization (ModelConfig.remat / --remat).
+
+jax.checkpoint around each SA/FP block with the POINT_INDS
+save-only-these-names policy: the fat (B, npoint, nsample, C)
+neighbourhood activations are recomputed in the backward instead of
+stashed, while the no-grad index tensors (FPS, ball query) stay saved.
+Remat is a scheduling change, not a math change — the contract tested
+here is exactly that: identical param trees, identical forward,
+matching gradients/updates, batch_stats still updating, and the remat
+primitive actually present in the differentiated graph.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlp3d.data.synthetic import make_batch, tiny_config
+from vlp3d.models.jointnet import JointNet
+from vlp3d.train.optimizer import make_optimizer
+from vlp3d.train.schedules import cosine_lr
+from vlp3d.train.state import create_state, make_train_step
+
+
+def _with_remat(config, on: bool):
+    return dataclasses.replace(
+        config, model=dataclasses.replace(config.model, remat=on)
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = tiny_config()
+    batch = make_batch(config, batch_size=2, num_points=512)
+    opt = make_optimizer(
+        lr_schedule=lambda e, lr0: cosine_lr(e, lr0, 200), steps_per_epoch=10
+    )
+    return config, batch, opt
+
+
+def test_param_tree_and_forward_identical(setup):
+    """remat changes the backward schedule only: init params and the
+    inference forward are bit-identical to the non-remat model."""
+    config, batch, opt = setup
+    m0 = JointNet(_with_remat(config, False))
+    m1 = JointNet(_with_remat(config, True))
+    s0 = create_state(m0, opt, batch)
+    s1 = create_state(m1, opt, batch)
+    assert jax.tree_util.tree_structure(s0.params) == (
+        jax.tree_util.tree_structure(s1.params)
+    )
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        assert jnp.array_equal(a, b)
+
+    v0 = {"params": s0.params, "batch_stats": s0.batch_stats}
+    out0 = jax.jit(lambda b: m0.apply(v0, b, train=False))(batch)
+    out1 = jax.jit(lambda b: m1.apply(v0, b, train=False))(batch)
+    np.testing.assert_array_equal(
+        np.asarray(out0["cluster_ref"]), np.asarray(out1["cluster_ref"])
+    )
+
+
+def test_train_step_update_parity(setup):
+    """One jitted train step with remat reproduces the non-remat update
+    (same grads up to the two programs' fusion rounding) and updates
+    batch_stats identically."""
+    config, batch, opt = setup
+    c0, c1 = _with_remat(config, False), _with_remat(config, True)
+    m0, m1 = JointNet(c0), JointNet(c1)
+    s0 = create_state(m0, opt, batch)
+    s1 = create_state(m1, opt, batch)
+    step0 = jax.jit(make_train_step(m0, c0, opt))
+    step1 = jax.jit(make_train_step(m1, c1, opt))
+    ns0, mt0 = step0(s0, batch, jax.random.key(0))
+    ns1, mt1 = step1(s1, batch, jax.random.key(0))
+    assert np.isclose(float(mt0["loss"]), float(mt1["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ns0.params), jax.tree.leaves(ns1.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
+    for a, b in zip(
+        jax.tree.leaves(ns0.batch_stats), jax.tree.leaves(ns1.batch_stats)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
+
+
+def test_remat_present_in_backward_graph(setup):
+    """Structural check that the flag actually changes the autodiff
+    schedule: the differentiated jaxpr contains remat segments (and the
+    POINT_INDS name tags) when on, none when off."""
+    config, batch, opt = setup
+
+    def grads_jaxpr(on: bool):
+        cfg = _with_remat(config, on)
+        model = JointNet(cfg)
+        state = create_state(model, opt, batch)
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=True,
+                rngs={
+                    "dropout": jax.random.key(1), "aug": jax.random.key(2)
+                },
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(out["cluster_ref"])
+
+        return str(jax.make_jaxpr(jax.grad(loss_fn))(state.params))
+
+    assert "remat" in grads_jaxpr(True)
+    assert "remat" not in grads_jaxpr(False)
+
+
+def test_remat_composes_with_dp_tp_mesh(setup):
+    """A remat train step jitted over the dp x tp mesh runs and matches
+    the unsharded remat step's loss (GSPMD + checkpoint compose)."""
+    config, batch, opt = setup
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    from vlp3d.parallel.mesh import shard_batch
+    from vlp3d.parallel.tensor_parallel import make_mesh_2d, shard_state
+
+    cfg = _with_remat(config, True)
+    model = JointNet(cfg)
+    state = create_state(model, opt, batch)
+    step = jax.jit(make_train_step(model, cfg, opt))
+    _, ref_metrics = step(state, batch, jax.random.key(0))
+
+    mesh = make_mesh_2d(2, 2)
+    sstate = shard_state(mesh, state)
+    sbatch = shard_batch(mesh, batch)
+    nstate, metrics = step(sstate, sbatch, jax.random.key(0))
+    jax.block_until_ready(metrics["loss"])
+    assert np.isclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=5e-5
+    )

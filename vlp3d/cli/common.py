@@ -75,6 +75,13 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="ZeRO-1: shard the AdamW moment buffers over the "
                         "data axis (1/N optimizer memory per chip; "
                         "composes with --tp)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the backbone SA/FP blocks in the "
+                        "backward pass (jax.checkpoint): big cut in "
+                        "per-chip activation memory for ~one extra "
+                        "backbone forward; identical gradients. Use for "
+                        "larger batch/points per chip; composes with "
+                        "--tp/--zero1/--grad_accum")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="gradient accumulation: mean grads over K "
                         "micro-batches, one optimizer update per K "
@@ -195,6 +202,7 @@ def config_from_args(args) -> Config:
         mask_box=args.mask_box,
         use_distil=args.use_distil,
         use_mlcv_net=getattr(args, "use_mlcv_net", False),
+        remat=getattr(args, "remat", False),
     )
     return Config(
         dataset=DatasetConfig(

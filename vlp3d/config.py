@@ -60,6 +60,13 @@ class ModelConfig:
     # bf16 halves activation bandwidth; default f32 pending real-data
     # accuracy validation
     compute_dtype: str = "float32"
+    # rematerialize the backbone's SA/FP blocks in the backward pass
+    # (jax.checkpoint with the POINT_INDS save-list policy): the fat
+    # (B, npoint, nsample, C) neighbourhood activations are recomputed
+    # instead of stashed — a large training-memory cut for ~one extra
+    # backbone forward of compute (measured in PERF.md). Exact math:
+    # identical gradients, just a different save/recompute schedule.
+    remat: bool = False
     num_answers: int = 8192
     # multiview feature channels inside point_clouds, consumed by the
     # relation module (relation_module.py:101-102)

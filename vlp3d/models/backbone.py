@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vlp3d.models.layers import FPModule, SAModule
+from vlp3d.models.layers import POINT_INDS, FPModule, SAModule
 
 
 class PointNet2Backbone(nn.Module):
@@ -24,6 +24,15 @@ class PointNet2Backbone(nn.Module):
     npoints: tuple = (2048, 1024, 512, 256)
     radii: tuple = (0.2, 0.4, 0.8, 1.2)
     nsamples: tuple = (64, 32, 16, 16)
+    # Rematerialize each SA/FP block in the backward pass
+    # (jax.checkpoint): the fat per-neighbourhood activations — the
+    # (B, npoint, nsample, C) gathered rows and MLP pre-activations that
+    # dominate training HBM — are recomputed instead of stashed, while
+    # the expensive-to-recompute no-grad index tensors (Pallas FPS, the
+    # ball-query selection) stay saved via the POINT_INDS name policy.
+    # Trades ~one extra backbone forward for an N-fold activation-memory
+    # cut (measured in PERF.md); enables larger batch/points per chip.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -49,26 +58,45 @@ class PointNet2Backbone(nn.Module):
             point_clouds[..., 3:] if point_clouds.shape[-1] > 3 else None
         )
 
+        # remat boundaries: one checkpoint segment per SA/FP block, so
+        # each block's residuals exist only while ITS backward runs.
+        # `train` stays static via the closures; prevent_cse is safe to
+        # drop under jit (jax.checkpoint docs) and compiles faster.
+        def call_sa(mod, xyz_a, feats_a, pre_a):
+            return mod(xyz_a, feats_a, train=train, precomputed=pre_a)
+
+        def call_fp(mod, unknown, known, uf, kf):
+            return mod(unknown, known, uf, kf, train=train)
+
+        if self.remat:
+            policy = jax.checkpoint_policies.save_only_these_names(
+                POINT_INDS
+            )
+            call_sa = nn.remat(call_sa, prevent_cse=False, policy=policy)
+            call_fp = nn.remat(call_fp, prevent_cse=False, policy=policy)
+
         np_, r, ns = self.npoints, self.radii, self.nsamples
-        sa1_xyz, sa1_f, sa1_inds = SAModule(
+        sa1_xyz, sa1_f, sa1_inds = call_sa(SAModule(
             np_[0], r[0], ns[0], [64, 64, 128], bn_momentum=m, name="sa1", dtype=dt,
             leaf_inputs=True,  # raw inputs: scatter-free backward
-        )(xyz, features, train=train, precomputed=sa1_precomputed)
-        sa2_xyz, sa2_f, sa2_inds = SAModule(
+        ), xyz, features, sa1_precomputed)
+        sa2_xyz, sa2_f, sa2_inds = call_sa(SAModule(
             np_[1], r[1], ns[1], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa2"
-        )(sa1_xyz, sa1_f, train=train)
-        sa3_xyz, sa3_f, sa3_inds = SAModule(
+        ), sa1_xyz, sa1_f, None)
+        sa3_xyz, sa3_f, sa3_inds = call_sa(SAModule(
             np_[2], r[2], ns[2], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa3"
-        )(sa2_xyz, sa2_f, train=train)
-        sa4_xyz, sa4_f, sa4_inds = SAModule(
+        ), sa2_xyz, sa2_f, None)
+        sa4_xyz, sa4_f, sa4_inds = call_sa(SAModule(
             np_[3], r[3], ns[3], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa4"
-        )(sa3_xyz, sa3_f, train=train)
+        ), sa3_xyz, sa3_f, None)
 
-        f = FPModule([256, 256], bn_momentum=m, dtype=dt, name="fp1")(
-            sa3_xyz, sa4_xyz, sa3_f, sa4_f, train=train
+        f = call_fp(
+            FPModule([256, 256], bn_momentum=m, dtype=dt, name="fp1"),
+            sa3_xyz, sa4_xyz, sa3_f, sa4_f,
         )
-        f = FPModule([256, 256], bn_momentum=m, dtype=dt, name="fp2")(
-            sa2_xyz, sa3_xyz, sa2_f, f, train=train
+        f = call_fp(
+            FPModule([256, 256], bn_momentum=m, dtype=dt, name="fp2"),
+            sa2_xyz, sa3_xyz, sa2_f, f,
         )
 
         num_seed = sa2_xyz.shape[1]

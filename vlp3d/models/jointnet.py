@@ -52,6 +52,7 @@ class JointNet(nn.Module):
             npoints=tuple(cfg.sa_npoints),
             radii=tuple(cfg.sa_radii),
             nsamples=tuple(cfg.sa_nsamples),
+            remat=cfg.remat,
             dtype=(
                 _jnp.bfloat16
                 if cfg.compute_dtype == "bfloat16"

@@ -14,9 +14,19 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from vlp3d.ops import furthest_point_sample, gather_points, query_and_group
 from vlp3d.ops.interpolate import interpolate_features
+
+# Residual tag for rematerialization: FPS / ball-query index tensors are
+# expensive to recompute (the two no-grad whales of an SA block: the
+# Pallas FPS scan and the fused distance/selection pass) but tiny to
+# store (int32 (B, M[, K])), so a remat policy of
+# `save_only_these_names(POINT_INDS)` keeps them as residuals while the
+# fat gathered/MLP activations are recomputed in the backward
+# (jax.checkpoint / nn.remat; see PointNet2Backbone.remat).
+POINT_INDS = "point_inds"
 
 
 class PointMLP(nn.Module):
@@ -112,7 +122,9 @@ class SAModule(nn.Module):
         else:
             grouped_pre = None
             if inds is None:
-                inds = furthest_point_sample(xyz, self.npoint)
+                inds = checkpoint_name(
+                    furthest_point_sample(xyz, self.npoint), POINT_INDS
+                )
             new_xyz = gather_points(xyz, inds)
 
         if not (self.fuse_first_layer and self.use_xyz and features is not None):
@@ -148,7 +160,10 @@ class SAModule(nn.Module):
             # scaled); identical math + param tree to the paths below
             x = w_feat(grouped_pre[..., 3:]) + w_xyz(grouped_pre[..., :3])
         elif self.leaf_inputs and train:
-            idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+            idx = checkpoint_name(
+                ball_query(self.radius, self.nsample, xyz, new_xyz),
+                POINT_INDS,
+            )
             # xyz/features are raw inputs: gather rows FIRST (the gather
             # has no VJP to compute), then apply the split first linear.
             src = jax.lax.stop_gradient(
@@ -160,7 +175,10 @@ class SAModule(nn.Module):
             ) * scale
             x = w_feat(grouped[..., 3:]) + w_xyz(gxyz)
         else:
-            idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+            idx = checkpoint_name(
+                ball_query(self.radius, self.nsample, xyz, new_xyz),
+                POINT_INDS,
+            )
             # Fold the xyz half into the gathered tensor:
             # W(g(xyz) - c)/r == g(W(xyz))/r - W(c)/r, so ONE gather moves
             # both the feature pre-activations and the recentred-coordinate

@@ -203,9 +203,16 @@ def query_and_group(
       (grouped, grouped_xyz): grouped is (B, M, nsample, 3 + C) if use_xyz
       else (B, M, nsample, C); grouped_xyz is (B, M, nsample, 3).
     """
+    from jax.ad_checkpoint import checkpoint_name
+
     from vlp3d.ops.grouping import group_points
 
-    idx = ball_query(radius, nsample, xyz, new_xyz, chunk=chunk)
+    # remat residual tag (see vlp3d.models.layers.POINT_INDS): keep the
+    # selection indices as saved residuals under a
+    # save_only_these_names("point_inds") checkpoint policy
+    idx = checkpoint_name(
+        ball_query(radius, nsample, xyz, new_xyz, chunk=chunk), "point_inds"
+    )
     grouped_xyz = group_points(xyz, idx)  # (B, M, nsample, 3)
     grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
     if normalize_xyz:
