@@ -149,6 +149,52 @@ def test_multiworker_iterator_identical_stream():
                     np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+def test_item_slice_matches_global_rows():
+    """Multi-host local loading (BatchIterator item_slice): a process
+    that builds only rows [s, s+k) of each batch must produce arrays
+    bit-identical to slicing the globally-built batch — with train-time
+    augmentation ON, since per-item randomness being counter-based is
+    exactly what makes this safe (the Solver multi-host train feed)."""
+    ds = build_dataset(augment=True)
+    full = list(
+        BatchIterator(
+            ds, batch_size=4, epoch=1, rng=np.random.default_rng(7)
+        )
+    )
+    for (s, k) in ((0, 2), (2, 2), (1, 1)):
+        local = list(
+            BatchIterator(
+                ds, batch_size=4, epoch=1,
+                rng=np.random.default_rng(7), item_slice=(s, k),
+            )
+        )
+        assert len(local) == len(full)
+        for a, b in zip(full, local):
+            assert float(a["random"]) == float(b["random"])
+            for key in a:
+                if not isinstance(a[key], np.ndarray):
+                    continue
+                if a[key].ndim >= 1 and a[key].shape[0] == 4:
+                    np.testing.assert_array_equal(
+                        a[key][s:s + k], b[key], err_msg=key
+                    )
+                else:  # shared scalars (epoch/istrain/random)
+                    np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_item_slice_validation():
+    import pytest
+
+    ds = build_dataset()
+    with pytest.raises(ValueError):
+        BatchIterator(ds, batch_size=4, item_slice=(3, 2))
+    with pytest.raises(ValueError):
+        BatchIterator(ds, batch_size=4, item_slice=(-1, 1))
+    with pytest.raises(ValueError):
+        # a partial tail batch could leave the slice empty
+        BatchIterator(ds, batch_size=4, drop_last=False, item_slice=(0, 2))
+
+
 def test_multiworker_iterator_raises_worker_error():
     """A worker-thread exception must surface in the consumer, not hang
     the iterator (the pre-round-2d per-worker-queue design could hang)."""

@@ -760,7 +760,17 @@ class BatchIterator:
     def __init__(self, dataset, batch_size: int, *, epoch: int = 0,
                  drop_last: bool = True, prefetch: int = 2,
                  num_workers: int = 1,
-                 rng: np.random.Generator | None = None):
+                 rng: np.random.Generator | None = None,
+                 item_slice: "tuple[int, int] | None" = None):
+        """item_slice=(start, k): build only rows [start, start+k) of
+        every batch — the multi-host local-loading contract. Per-item
+        randomness is counter-based (seed, shuffle round, idx) and the
+        per-batch random gates are drawn for ALL batches upfront, so a
+        process that builds only its k-row slice produces arrays
+        bit-identical to rows [start:start+k] of the full batch; each
+        host pays 1/n_proc of the loader work instead of building the
+        whole global batch and slicing (the reference has no multi-host
+        loader at all — torch DataLoader on one node, SURVEY §2.5)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.epoch = epoch
@@ -768,16 +778,31 @@ class BatchIterator:
         self.prefetch = prefetch
         self.num_workers = max(1, num_workers)
         self.rng = rng or np.random.default_rng(0)
+        if item_slice is not None:
+            s, k = item_slice
+            if not (0 <= s and k >= 1 and s + k <= batch_size):
+                raise ValueError(
+                    f"item_slice {item_slice} out of range for "
+                    f"batch_size {batch_size}"
+                )
+            if not drop_last:
+                # a partial tail batch could leave this process's slice
+                # empty (uncollatable); the multi-host train feed always
+                # drops the tail, so reject the combination outright
+                raise ValueError("item_slice requires drop_last=True")
+        self.item_slice = item_slice
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _make_batch(self, b: int, gate: float):
-        idxs = range(
-            b * self.batch_size,
-            min((b + 1) * self.batch_size, len(self.dataset)),
-        )
+        lo = b * self.batch_size
+        hi = min((b + 1) * self.batch_size, len(self.dataset))
+        if self.item_slice is not None:
+            s, k = self.item_slice
+            lo, hi = min(lo + s, hi), min(lo + s + k, hi)
+        idxs = range(lo, hi)
         layout = getattr(self.dataset, "batch_layout", None)
         if layout is not None:
             # direct-write path: preallocate the big (B, ...) arrays and

@@ -333,18 +333,25 @@ class Solver:
             return shard_state(self.mesh, new_state)
         return replicate(self.mesh, new_state)
 
-    def _shard(self, arrays: dict) -> dict:
+    def _shard(self, arrays: dict, *, local: bool = False) -> dict:
         """Host batch dict -> device-sharded batch.
 
-        Single-host: leading-axis sharding over the local mesh. Multi-host:
-        every process builds the identical GLOBAL batch (same seeded
-        loader), keeps its own contiguous row-slice, and the slices are
-        assembled into global arrays sharded over the data axis — host-side
-        eval code keeps seeing the full global batch either way.
+        Single-host: leading-axis sharding over the local mesh.
+        Multi-host, local=True (the train feed): the loader already built
+        ONLY this process's row-slice (BatchIterator item_slice — 1/n_proc
+        of the loader work per host, bit-identical stream), so the arrays
+        go straight to global assembly. local=False (the eval feed, whose
+        host-side metrics read the full batch): every process builds the
+        identical GLOBAL batch (same seeded loader), keeps its own
+        contiguous row-slice, and the slices are assembled into global
+        arrays sharded over the data axis.
         """
         if self.n_proc == 1:
             return shard_batch(self.mesh, arrays)
         from vlp3d.parallel.distributed import shard_host_batch
+
+        if local:
+            return shard_host_batch(self.mesh, arrays)
 
         bs = arrays["point_clouds"].shape[0]
         if bs % self.n_proc:
@@ -372,12 +379,26 @@ class Solver:
     def train_epoch(self, epoch: int) -> dict:
         cfg = self.config
         self.train_dataset.shuffle_data()
+        # multi-host: each process builds ONLY its contiguous row-slice
+        # of every batch (1/n_proc of the loader work; the counter-based
+        # per-item randomness makes the slice bit-identical to slicing a
+        # globally-built batch — tested in test_dataset.py)
+        item_slice = None
+        if self.n_proc > 1:
+            if cfg.train.batch_size % self.n_proc:
+                raise ValueError(
+                    f"global batch {cfg.train.batch_size} not divisible "
+                    f"by {self.n_proc} processes"
+                )
+            local_bs = cfg.train.batch_size // self.n_proc
+            item_slice = (jax.process_index() * local_bs, local_bs)
         loader = BatchIterator(
             self.train_dataset,
             cfg.train.batch_size,
             epoch=epoch,
             num_workers=cfg.train.num_workers,
             rng=self.np_rng,
+            item_slice=item_slice,
         )
         _, train_step, _ = self._get_steps(epoch)
         n_iters = len(loader)
@@ -386,7 +407,8 @@ class Solver:
         for it, batch in enumerate(loader):
             self.timers.stop("fetch")
             batch = self._shard(
-                {k: v for k, v in batch.items() if not isinstance(v, list)}
+                {k: v for k, v in batch.items() if not isinstance(v, list)},
+                local=item_slice is not None,
             )
             if (
                 self.profile_dir
