@@ -47,6 +47,23 @@ def test_async_snapshot_round_trip(tmp_path):
     ckpt.wait_until_finished()
 
 
+def test_load_params_is_platform_portable(tmp_path):
+    """load_params must restore HOST numpy leaves, never replay the
+    saved device shardings — a snapshot written on a CPU box previously
+    died on the TPU backend with "Device TFRT_CPU_0 was not found in
+    jax.local_devices()" (and vice versa). Consumers device_put/shard
+    downstream."""
+    params = {"w": jnp.arange(12.0).reshape(3, 4)}
+    ckpt.save_params(str(tmp_path), "snap", params)
+    import jax
+
+    restored = ckpt.load_params(str(tmp_path), "snap")
+    for leaf in jax.tree.leaves(restored):
+        assert isinstance(leaf, np.ndarray), type(leaf)
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  np.arange(12.0).reshape(3, 4))
+
+
 @pytest.mark.slow
 def test_profile_trace_and_sigterm(tmp_path):
     """One tiny solver exercises both: (a) --profile_dir writes an

@@ -55,12 +55,30 @@ def save_params(root: str, name: str, params, batch_stats=None) -> None:
     ckptr.save(_path(root, name), tree, force=True)
 
 
+def _restore_host(path: str):
+    """Template-free restore to HOST numpy leaves, regardless of the
+    devices the snapshot was written from. StandardCheckpointer.restore
+    with no target replays the SAVED shardings, whose device names don't
+    exist across platforms (a snapshot written on a CPU box dies on TPU
+    with "Device TFRT_CPU_0 was not found" and vice versa) — but
+    import/export/serve/warm-start all shard or device_put downstream
+    anyway, so host arrays are the right intermediate."""
+    import numpy as np
+
+    ptc = ocp.PyTreeCheckpointer()
+    restore_args = jax.tree.map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray),
+        ptc.metadata(path).item_metadata,
+    )
+    return ptc.restore(path, restore_args=restore_args)
+
+
 def load_params(root: str, name: str):
     """Restore a save_params snapshot: {'params': ..., 'batch_stats': ...}
-    (batch_stats absent in params-only snapshots)."""
-    ckptr = _checkpointer()
-    ckptr.wait_until_finished()
-    saved = ckptr.restore(_path(root, name))
+    (batch_stats absent in params-only snapshots). Leaves are host numpy
+    arrays — platform-portable (see _restore_host)."""
+    wait_until_finished()  # serialize with any in-flight save
+    saved = _restore_host(_path(root, name))
     if not isinstance(saved, dict) or "params" not in saved:
         saved = {"params": saved}
     return saved
@@ -73,9 +91,8 @@ def load_params_partial(path: str, params):
     shape/dtype; everything else keeps its fresh init. Pass
     {'params': ..., 'batch_stats': ...} as the template to warm-start BN
     stats too. Returns (merged, n_restored, n_skipped)."""
-    ckptr = _checkpointer()
-    ckptr.wait_until_finished()
-    saved = ckptr.restore(path)
+    wait_until_finished()
+    saved = _restore_host(path)
     if not isinstance(saved, dict) or (
         "params" in params and "params" not in saved
     ):
