@@ -117,6 +117,29 @@ def test_remat_present_in_backward_graph(setup):
     assert "remat" not in grads_jaxpr(False)
 
 
+def test_remat_survives_to_hlo_as_barriers(setup):
+    """The CSE-undo regression guard: jaxpr-level remat (above) is not
+    enough — with prevent_cse=False, XLA's common-subexpression
+    elimination merges the backward's recompute back into the forward
+    and silently restores the full residual stash (measured: temp bytes
+    bit-identical to the non-remat program). What keeps remat real at
+    the XLA level is the optimization_barrier ops prevent_cse=True
+    inserts — assert the lowered train step carries MORE of them with
+    remat on (other machinery contributes a baseline count)."""
+    config, batch, opt = setup
+
+    def barrier_count(on: bool):
+        cfg = _with_remat(config, on)
+        model = JointNet(cfg)
+        state = create_state(model, opt, batch)
+        step = jax.jit(make_train_step(model, cfg, opt))
+        txt = step.lower(state, batch, jax.random.key(0)).as_text()
+        return txt.count("optimization_barrier")
+
+    off, on = barrier_count(False), barrier_count(True)
+    assert on > off, (off, on)
+
+
 def test_remat_composes_with_dp_tp_mesh(setup):
     """A remat train step jitted over the dp x tp mesh runs and matches
     the unsharded remat step's loss (GSPMD + checkpoint compose)."""

@@ -60,8 +60,11 @@ class PointNet2Backbone(nn.Module):
 
         # remat boundaries: one checkpoint segment per SA/FP block, so
         # each block's residuals exist only while ITS backward runs.
-        # `train` stays static via the closures; prevent_cse is safe to
-        # drop under jit (jax.checkpoint docs) and compiles faster.
+        # `train` stays static via the closures. prevent_cse must stay
+        # True (the default): the blocks are NOT under a scan, and with
+        # False XLA's CSE merges the backward's recompute back into the
+        # forward, silently undoing rematerialization (measured: temp
+        # bytes bit-identical to the non-remat program).
         def call_sa(mod, xyz_a, feats_a, pre_a):
             return mod(xyz_a, feats_a, train=train, precomputed=pre_a)
 
@@ -72,8 +75,8 @@ class PointNet2Backbone(nn.Module):
             policy = jax.checkpoint_policies.save_only_these_names(
                 POINT_INDS
             )
-            call_sa = nn.remat(call_sa, prevent_cse=False, policy=policy)
-            call_fp = nn.remat(call_fp, prevent_cse=False, policy=policy)
+            call_sa = nn.remat(call_sa, policy=policy)
+            call_fp = nn.remat(call_fp, policy=policy)
 
         np_, r, ns = self.npoints, self.radii, self.nsamples
         sa1_xyz, sa1_f, sa1_inds = call_sa(SAModule(
