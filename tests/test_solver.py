@@ -195,3 +195,64 @@ def test_caption_best_model_snapshot(tmp_path):
     }
     solver(1, eval_every=1)
     assert "caption_model" not in snapshots
+
+
+@pytest.mark.slow
+def test_train_step_donation(tmp_path):
+    """Default donate=True aliases the state into the step's outputs:
+    the pre-step buffers are deleted (one state copy of transient HBM
+    saved), threading keeps working, and --no_donate keeps them alive.
+    Also covers the interrupt-mid-step guard: a donated (deleted) live
+    state must not crash the save-and-exit path."""
+    import jax
+
+    config = tiny_config()
+    config = config.__class__(
+        dataset=config.dataset,
+        model=config.model,
+        loss=config.loss,
+        train=config.train.__class__(batch_size=2, epochs=1),
+    )
+    ds = make_synthetic_dataset(config, n_scenes=2, anns_per_scene=5)
+    sample = next(iter(BatchIterator(ds, 2, epoch=0)))
+    sample = {k: v for k, v in sample.items() if not isinstance(v, list)}
+
+    solver = Solver(config, ds, ds, str(tmp_path / "d"), log_every=1)
+    solver.init_state(sample)
+    old_leaves = jax.tree.leaves(solver.state.params) + jax.tree.leaves(
+        solver.state.opt_state
+    )
+    _, train_step, _ = solver._get_steps(0)
+    batch = solver._shard(sample)
+    solver.state, metrics = train_step(solver.state, batch, solver.rng)
+    assert np.isfinite(float(metrics["loss"]))
+    n_deleted = sum(leaf.is_deleted() for leaf in old_leaves)
+    assert n_deleted == len(old_leaves), (n_deleted, len(old_leaves))
+    # threading continues: a second step from the NEW state works
+    solver.state, metrics2 = train_step(solver.state, batch, solver.rng)
+    assert np.isfinite(float(metrics2["loss"]))
+
+    # interrupt-mid-step guard: with the live state donated, the
+    # KeyboardInterrupt path reports instead of crashing on the deleted
+    # buffers
+    stale = solver.state
+    solver.state, _ = train_step(solver.state, batch, solver.rng)
+    solver.state = stale  # simulate ^C landing inside the dispatch
+
+    def boom(epoch):
+        raise KeyboardInterrupt
+
+    solver.train_epoch = boom
+    best = solver(1, eval_every=1)  # must not raise
+    assert best is solver.best
+
+    # --no_donate: pre-step buffers stay alive
+    solver2 = Solver(
+        config, ds, ds, str(tmp_path / "nd"), log_every=1, donate=False
+    )
+    solver2.init_state(sample)
+    old2 = jax.tree.leaves(solver2.state.params)
+    _, step2, _ = solver2._get_steps(0)
+    solver2.state, _ = step2(solver2.state, solver2._shard(sample),
+                             solver2.rng)
+    assert not any(leaf.is_deleted() for leaf in old2)

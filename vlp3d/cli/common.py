@@ -82,6 +82,13 @@ def add_common_args(p: argparse.ArgumentParser):
                         "backbone forward; identical gradients. Use for "
                         "larger batch/points per chip; composes with "
                         "--tp/--zero1/--grad_accum")
+    p.add_argument("--no_donate", action="store_true",
+                   help="disable train-state buffer donation (donation "
+                        "updates params/opt-state in place on device, "
+                        "saving one full state copy of transient HBM "
+                        "per step; the only cost is that an interrupt "
+                        "landing mid-step cannot snapshot the in-flight "
+                        "state — the last periodic checkpoint stands)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="gradient accumulation: mean grads over K "
                         "micro-batches, one optimizer update per K "

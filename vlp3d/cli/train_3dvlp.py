@@ -68,6 +68,7 @@ def main(argv=None):
         tp=getattr(args, "tp", 1),
         zero1=getattr(args, "zero1", False),
         grad_accum=getattr(args, "grad_accum", 1),
+        donate=not getattr(args, "no_donate", False),
         seed=args.seed,
         use_wandb=getattr(args, "use_wandb", False),
         profile_dir=getattr(args, "profile_dir", "") or None,

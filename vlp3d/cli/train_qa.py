@@ -168,6 +168,7 @@ def main(argv=None):
         criterion=args.criterion,
         val_step=getattr(args, "val_step", 2000),
         tp=getattr(args, "tp", 1),
+        donate=not getattr(args, "no_donate", False),
         seed=args.seed,
         use_wandb=getattr(args, "use_wandb", False),
         profile_dir=getattr(args, "profile_dir", "") or None,

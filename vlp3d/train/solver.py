@@ -66,6 +66,7 @@ class Solver:
         tp: int = 1,
         zero1: bool = False,
         grad_accum: int = 1,
+        donate: bool = True,
         seed: int = 42,
         caption_eval_ctx: dict | None = None,
         use_wandb: bool = False,
@@ -107,6 +108,15 @@ class Solver:
         # chip; composes with tp (2D-mesh param-aware moment specs) and
         # with multi-host DCN meshes (distributed.place_global)
         self.zero1 = zero1
+        # donate: alias the train state's buffers into the jitted step's
+        # outputs (donate_argnums) so params/opt-state are updated in
+        # place on device instead of living twice during the update —
+        # the transient saving is one full state copy of HBM. Applied
+        # only once the state is placed (out_shardings pinned to the
+        # input layout, so every donated buffer is layout-compatible
+        # and actually reused). The reference has no equivalent (torch
+        # optimizers mutate in place by construction).
+        self.donate = donate
         if mesh is not None:
             self.mesh = mesh
         elif tp > 1:
@@ -258,6 +268,11 @@ class Solver:
                     detection=self.detection,
                 ),
                 out_shardings=train_out_shardings,
+                # state-in aliases state-out (see __init__ donate doc);
+                # safe because the solver always threads the state
+                # (self.state, _ = train_step(self.state, ...)) and the
+                # pinned out_shardings make every leaf layout-identical
+                donate_argnums=(0,) if (placed and self.donate) else (),
             )
             # multi-host: replicate eval outputs (an all-gather at step
             # end) so host-side eval code can device_get the full global
@@ -752,11 +767,22 @@ class Solver:
                 if epoch % 10 == 0 and epoch != 0:
                     self._save_full_checkpoint(epoch)
         except KeyboardInterrupt:
-            # save-and-exit on interrupt/preemption (solver_3dvlp.py:356-359)
-            self._save_full_checkpoint(epoch)
+            # save-and-exit on interrupt/preemption (solver_3dvlp.py:356-359).
+            # With donation, an interrupt landing INSIDE a train-step
+            # dispatch leaves self.state pointing at donated (deleted)
+            # buffers; the current step's state is then unsaveable — fall
+            # back to reporting the last periodic checkpoint.
+            try:
+                self._save_full_checkpoint(epoch)
+                print(f"interrupted at epoch {epoch} — checkpoint saved "
+                      f"to {self.workdir}")
+            except Exception as e:  # noqa: BLE001 — deleted-buffer only
+                if "delete" not in str(e).lower():
+                    raise
+                print(f"interrupted at epoch {epoch} mid-step; live state "
+                      f"was donated — resume from the last periodic "
+                      f"checkpoint in {self.workdir}")
             self._log({"phase": "interrupt", "epoch": epoch})
-            print(f"interrupted at epoch {epoch} — checkpoint saved to "
-                  f"{self.workdir}")
             self._finish()
             return self.best
         finally:
