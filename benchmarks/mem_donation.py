@@ -23,7 +23,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,9 +38,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--points", type=int, default=40960)
-    ap.add_argument("--time_steps", type=int, default=3,
-                    help="also time this many sequential donated steps "
-                         "(0 = compile-only accounting)")
+    ap.add_argument("--time_steps", type=int, default=0,
+                    help="also run this many sequential donated steps as "
+                         "a liveness check (0 = compile-only accounting). "
+                         "NOT a timing harness: per-call dispatch over "
+                         "the axon relay dominates; step time comes from "
+                         "benchmarks/run.py's streaming scan")
     args = ap.parse_args()
 
     from vlp3d.config import Config, DatasetConfig, ModelConfig
@@ -93,14 +95,11 @@ def main():
     _, plain = stats(donate=False)
     compiled_d, donated = stats(donate=True)
 
-    step_ms = None
     if args.time_steps:
         s = state
-        t0 = time.perf_counter()
         for i in range(args.time_steps):
             s, metrics = compiled_d(s, batch, jax.random.fold_in(rng, i))
         loss = float(metrics["loss"])  # materialize = completion barrier
-        step_ms = (time.perf_counter() - t0) / args.time_steps * 1e3
         assert jnp.isfinite(loss), loss
 
     print(json.dumps({
@@ -110,7 +109,7 @@ def main():
         "state_mb": round(state_bytes / 1e6, 1),
         "no_donate": {k: round(v, 1) for k, v in plain.items()},
         "donate": {k: round(v, 1) for k, v in donated.items()},
-        "donated_step_ms": round(step_ms, 1) if step_ms else None,
+        "donated_steps_ran": args.time_steps or None,
         "platform": jax.devices()[0].platform,
     }))
 

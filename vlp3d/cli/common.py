@@ -23,6 +23,20 @@ def add_common_args(p: argparse.ArgumentParser):
     # mirrors the reference's flag surface (train_3dvlp.py:588-774)
     p.add_argument("--tag", type=str, default="")
     p.add_argument("--output_dir", type=str, default="outputs")
+    p.add_argument("--workdir", type=str, default="",
+                   help="exact run directory (skips the timestamped "
+                        "output_dir/STAMP layout). A stable workdir is "
+                        "what makes --auto_resume usable on preemptible "
+                        "TPU pools: the restarted command finds its own "
+                        "checkpoint")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="if the workdir already holds a resume "
+                        "checkpoint, continue from it (state + best "
+                        "taxonomy + next epoch). With the solver's "
+                        "SIGTERM save-and-exit, preemption recovery is: "
+                        "rerun the same command (beyond the reference, "
+                        "whose --use_checkpoint restores weights but "
+                        "restarts the epoch/curriculum clock)")
     p.add_argument("--scanrefer_dir", type=str, default="data/scanrefer")
     p.add_argument("--scannet_data", type=str, default="data/scannet_data")
     p.add_argument("--labels_tsv", type=str, default="")

@@ -141,10 +141,13 @@ def main(argv=None):
         ),
     )
 
-    stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
-    if args.tag:
-        stamp += "_" + args.tag.upper()
-    workdir = os.path.join(args.output_dir, stamp)
+    if getattr(args, "workdir", ""):
+        workdir = args.workdir
+    else:
+        stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        if args.tag:
+            stamp += "_" + args.tag.upper()
+        workdir = os.path.join(args.output_dir, stamp)
     os.makedirs(workdir, exist_ok=True)
     with open(os.path.join(workdir, "info.json"), "w") as f:
         json.dump(
@@ -185,15 +188,22 @@ def main(argv=None):
             f"restored, {n_skipped} fresh"
         )
 
-    if args.use_checkpoint:
+    resume_from = args.use_checkpoint
+    if getattr(args, "auto_resume", False) and not resume_from and (
+        os.path.exists(os.path.join(workdir, "checkpoint_meta.json"))
+    ):
+        resume_from = workdir
+    start_epoch = 0
+    if resume_from:
         from vlp3d.train.checkpoint import load_checkpoint
 
-        solver.state, meta = load_checkpoint(
-            args.use_checkpoint, solver.state
-        )
-        print(f"resumed from {args.use_checkpoint} @ epoch {meta['epoch']}")
+        solver.state, meta = load_checkpoint(resume_from, solver.state)
+        solver.best.update(meta.get("best", {}))
+        start_epoch = int(meta["epoch"]) + 1
+        print(f"resumed from {resume_from} @ epoch {meta['epoch']} — "
+              f"continuing at epoch {start_epoch}")
 
-    best = solver(config.train.epochs)
+    best = solver(config.train.epochs, start_epoch=start_epoch)
     print(json.dumps({k: v for k, v in best.items()}, default=float))
     return best
 

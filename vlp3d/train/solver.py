@@ -701,7 +701,15 @@ class Solver:
             params, stats = jax.tree.map(np.asarray, (params, stats))
         ckpt.save_params(self.workdir, name, params, stats)
 
-    def __call__(self, epochs: int, *, eval_every: int = 1) -> dict:
+    def __call__(
+        self, epochs: int, *, eval_every: int = 1, start_epoch: int = 0
+    ) -> dict:
+        """Run epochs [start_epoch, epochs). start_epoch > 0 resumes the
+        epoch/curriculum clock after a checkpoint restore (the epoch-50
+        loss switches, BN-momentum schedule, and best-model taxonomy all
+        key on the true epoch number; the reference's --use_checkpoint
+        restores weights but restarts that clock at 0,
+        train_3dvlp.py:160-171)."""
         # Preemption handling: TPU-VM/SLURM preemption delivers SIGTERM;
         # route it into the same save-and-exit path as KeyboardInterrupt
         # (the reference only handles ^C, solver_3dvlp.py:356-359).
@@ -713,9 +721,9 @@ class Solver:
             def _on_term(signum, frame):
                 raise KeyboardInterrupt
             old_term = signal.signal(signal.SIGTERM, _on_term)
-        epoch = 0
+        epoch = start_epoch
         try:
-            for epoch in range(epochs):
+            for epoch in range(start_epoch, epochs):
                 self.train_epoch(epoch)
                 self._snapshot("model_last")
                 if epoch == 49:
