@@ -233,6 +233,28 @@ def main() -> None:
         flush=True,
     )
 
+    # ---- checkpoint materialization of the cross-host-sharded state -----
+    # np.asarray raises on the non-addressable ZeRO moments; host_global
+    # all-gathers them — this is the solver's _save_full_checkpoint path
+    # for multi-host --zero1 runs.
+    from vlp3d.parallel.distributed import host_global
+
+    host_opt = host_global(zopt)
+    gshapes = [tuple(x.shape) for x in jax.tree.leaves(zopt)
+               if hasattr(x, "shape")]
+    hshapes = [tuple(np.asarray(x).shape) for x in jax.tree.leaves(host_opt)
+               if hasattr(x, "shape")]
+    assert hshapes == gshapes, (hshapes, gshapes)
+    hnorm = float(sum(
+        float(np.sum(np.asarray(x, dtype=np.float64) ** 2))
+        for x in jax.tree.leaves(host_opt)
+        if hasattr(x, "shape") and np.issubdtype(
+            np.asarray(x).dtype, np.floating)
+    ) ** 0.5)
+    assert np.isfinite(hnorm)
+    print(f"DIST_HOSTGLOBAL_OK rank={ctx.rank} onorm={hnorm:.8f}",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

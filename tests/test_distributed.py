@@ -116,6 +116,19 @@ def test_two_process_train_step(mode):
         z_vals.append((float(m.group(1)), int(m.group(2))))
     assert z_vals[0] == z_vals[1], z_vals
 
+    # host_global materializes the cross-host-sharded opt state to full
+    # host numpy on EVERY process (the multi-host --zero1 checkpoint
+    # path); equal norms prove both ranks reassembled the same global
+    # values from their halves
+    h_vals = []
+    for rank, _, out, _ in results:
+        m = re.search(
+            rf"DIST_HOSTGLOBAL_OK rank={rank} onorm=([-\d.einf]+)", out
+        )
+        assert m, f"no DIST_HOSTGLOBAL_OK from rank {rank}: {out[-2000:]}"
+        h_vals.append(float(m.group(1)))
+    assert h_vals[0] == h_vals[1], h_vals
+
 
 def test_dist_init_noop_without_rendezvous():
     """Single-process: dist_init is a no-op (reference dist.py:33-36)."""

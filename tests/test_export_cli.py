@@ -92,3 +92,10 @@ def test_export_cli_roundtrip(tree, tmp_path):
     assert "lang.text_encoder.cls.predictions.bias" in sd2
     np.testing.assert_array_equal(sd2["vgen.conv1.weight"].numpy(),
                                   sd["vgen.conv1.weight"].numpy())
+
+
+def test_export_params_only_snapshot_clear_error():
+    """A params-only snapshot (no BN running stats) must fail with a
+    message saying batch_stats are required, not a bare KeyError."""
+    with pytest.raises(ValueError, match="batch_stats"):
+        export_jointnet_state_dict({"backbone_net": {}}, {})

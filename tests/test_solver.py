@@ -67,7 +67,9 @@ def test_solver_one_epoch(tmp_path):
     best2 = solver(5, eval_every=1)  # must not propagate the interrupt
     assert best2 is solver.best
     with open(os.path.join(str(tmp_path), "checkpoint_meta.json")) as f:
-        assert json.load(f)["epoch"] == 0  # saved at the interrupted epoch
+        # stamped with the last COMPLETED epoch (-1: the interrupted
+        # epoch 0 never finished, so --auto_resume replays it from 0)
+        assert json.load(f)["epoch"] == -1
 
 
 @pytest.mark.slow
@@ -233,8 +235,11 @@ def test_train_step_donation(tmp_path):
     assert np.isfinite(float(metrics2["loss"]))
 
     # interrupt-mid-step guard: with the live state donated, the
-    # KeyboardInterrupt path reports instead of crashing on the deleted
-    # buffers
+    # KeyboardInterrupt path must neither crash on the deleted buffers
+    # NOR attempt the save (orbax save(force=True) deletes the existing
+    # checkpoint dir before serializing — a doomed save would destroy
+    # the last good checkpoint)
+    solver._save_full_checkpoint(0)  # a good checkpoint exists on disk
     stale = solver.state
     solver.state, _ = train_step(solver.state, batch, solver.rng)
     solver.state = stale  # simulate ^C landing inside the dispatch
@@ -245,6 +250,13 @@ def test_train_step_donation(tmp_path):
     solver.train_epoch = boom
     best = solver(1, eval_every=1)  # must not raise
     assert best is solver.best
+    ckpt_dir = os.path.join(str(tmp_path / "d"), "checkpoint")
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+    with open(os.path.join(str(tmp_path / "d"),
+                           "checkpoint_meta.json")) as f:
+        import json
+
+        assert json.load(f)["epoch"] == 0  # the GOOD save, untouched
 
     # --no_donate: pre-step buffers stay alive
     solver2 = Solver(

@@ -183,6 +183,49 @@ def add_common_args(p: argparse.ArgumentParser):
     return p
 
 
+def resolve_workdir(args) -> str:
+    """--workdir verbatim, else the reference's timestamped
+    output_dir/STAMP[_TAG] layout (train_3dvlp.py:162-177)."""
+    if getattr(args, "workdir", ""):
+        workdir = args.workdir
+    else:
+        from datetime import datetime
+
+        stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        if args.tag:
+            stamp += "_" + args.tag.upper()
+        workdir = os.path.join(args.output_dir, stamp)
+    os.makedirs(workdir, exist_ok=True)
+    return workdir
+
+
+def resume_solver(solver, args, workdir: str) -> int:
+    """Apply --use_checkpoint / --auto_resume to a state-initialized
+    solver; returns the start epoch for Solver.__call__.
+
+    Restores weights + optimizer + the best-model taxonomy (the
+    reference's checkpoint_best, train_3dvlp.py:160-171) and continues
+    the epoch/curriculum clock at the epoch after the last COMPLETED one
+    (ours — the reference restarts the clock at 0)."""
+    resume_from = getattr(args, "use_checkpoint", "")
+    if (
+        getattr(args, "auto_resume", False)
+        and not resume_from
+        and os.path.exists(os.path.join(workdir, "checkpoint_meta.json"))
+    ):
+        resume_from = workdir
+    if not resume_from:
+        return 0
+    from vlp3d.train.checkpoint import load_checkpoint
+
+    solver.state, meta = load_checkpoint(resume_from, solver.state)
+    solver.best.update(meta.get("best", {}))
+    start_epoch = int(meta["epoch"]) + 1
+    print(f"resumed from {resume_from} @ epoch {meta['epoch']} — "
+          f"continuing at epoch {start_epoch}")
+    return start_epoch
+
+
 def config_from_args(args) -> Config:
     # input channel arithmetic mirrors train_3dvlp.py:82-83:
     # 3 + color*3 + (not no_height) + normal*3 + multiview*128

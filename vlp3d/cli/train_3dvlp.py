@@ -16,7 +16,6 @@ import argparse
 import dataclasses
 import json
 import os
-from datetime import datetime
 
 
 def main(argv=None):
@@ -42,26 +41,11 @@ def main(argv=None):
 
     train_ds, val_ds = build_datasets(args, config)
 
-    if args.workdir:
-        workdir = args.workdir
-    else:
-        stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
-        if args.tag:
-            stamp += "_" + args.tag.upper()
-        workdir = os.path.join(args.output_dir, stamp)
-    os.makedirs(workdir, exist_ok=True)
+    from vlp3d.cli.common import resolve_workdir, resume_solver
+
+    workdir = resolve_workdir(args)
     with open(os.path.join(workdir, "info.json"), "w") as f:
         json.dump({"args": vars(args)}, f, indent=2)
-
-    # --auto_resume: a stable --workdir + rerunning the same command is
-    # the whole preemption-recovery story (SIGTERM -> save-and-exit ->
-    # restart -> continue). Resolved here so a first run (no checkpoint
-    # yet) falls through to a fresh start.
-    resume_from = args.use_checkpoint
-    if args.auto_resume and not resume_from and os.path.exists(
-        os.path.join(workdir, "checkpoint_meta.json")
-    ):
-        resume_from = workdir
 
     from vlp3d.data.dataset import BatchIterator
     from vlp3d.train.solver import Solver
@@ -100,18 +84,10 @@ def main(argv=None):
             f"restored, {n_skipped} fresh"
         )
 
-    start_epoch = 0
-    if resume_from:
-        from vlp3d.train.checkpoint import load_checkpoint
-
-        solver.state, meta = load_checkpoint(resume_from, solver.state)
-        # the reference restores `best` alongside the weights
-        # (train_3dvlp.py:160-171, checkpoint_best); continuing the
-        # epoch/curriculum clock is ours (see Solver.__call__)
-        solver.best.update(meta.get("best", {}))
-        start_epoch = int(meta["epoch"]) + 1
-        print(f"resumed from {resume_from} @ epoch {meta['epoch']} — "
-              f"continuing at epoch {start_epoch}")
+    # --auto_resume: a stable --workdir + rerunning the same command is
+    # the whole preemption-recovery story (SIGTERM -> save-and-exit ->
+    # restart -> continue); a first run falls through to a fresh start
+    start_epoch = resume_solver(solver, args, workdir)
 
     best = solver(config.train.epochs, start_epoch=start_epoch)
     print(json.dumps({k: v for k, v in best.items()}, default=float))

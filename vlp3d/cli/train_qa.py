@@ -18,7 +18,6 @@ import argparse
 import dataclasses
 import json
 import os
-from datetime import datetime
 
 
 def build_qa_datasets(args, config):
@@ -141,14 +140,9 @@ def main(argv=None):
         ),
     )
 
-    if getattr(args, "workdir", ""):
-        workdir = args.workdir
-    else:
-        stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
-        if args.tag:
-            stamp += "_" + args.tag.upper()
-        workdir = os.path.join(args.output_dir, stamp)
-    os.makedirs(workdir, exist_ok=True)
+    from vlp3d.cli.common import resolve_workdir, resume_solver
+
+    workdir = resolve_workdir(args)
     with open(os.path.join(workdir, "info.json"), "w") as f:
         json.dump(
             {"args": vars(args), "num_answers": train_ds.num_answers},
@@ -171,6 +165,8 @@ def main(argv=None):
         criterion=args.criterion,
         val_step=getattr(args, "val_step", 2000),
         tp=getattr(args, "tp", 1),
+        zero1=getattr(args, "zero1", False),
+        grad_accum=getattr(args, "grad_accum", 1),
         donate=not getattr(args, "no_donate", False),
         seed=args.seed,
         use_wandb=getattr(args, "use_wandb", False),
@@ -188,20 +184,7 @@ def main(argv=None):
             f"restored, {n_skipped} fresh"
         )
 
-    resume_from = args.use_checkpoint
-    if getattr(args, "auto_resume", False) and not resume_from and (
-        os.path.exists(os.path.join(workdir, "checkpoint_meta.json"))
-    ):
-        resume_from = workdir
-    start_epoch = 0
-    if resume_from:
-        from vlp3d.train.checkpoint import load_checkpoint
-
-        solver.state, meta = load_checkpoint(resume_from, solver.state)
-        solver.best.update(meta.get("best", {}))
-        start_epoch = int(meta["epoch"]) + 1
-        print(f"resumed from {resume_from} @ epoch {meta['epoch']} — "
-              f"continuing at epoch {start_epoch}")
+    start_epoch = resume_solver(solver, args, workdir)
 
     best = solver(config.train.epochs, start_epoch=start_epoch)
     print(json.dumps({k: v for k, v in best.items()}, default=float))

@@ -249,6 +249,14 @@ def export_jointnet_state_dict(params, batch_stats, *,
     scripts/joint_scripts/train_3dvlp.py saves the wrapped model).
     """
     params, stats = dict(params), dict(batch_stats)
+    if "backbone_net" not in stats:
+        raise ValueError(
+            "export requires the BN running stats (batch_stats) — the "
+            "reference state dict carries running_mean/var for every "
+            "BatchNorm. This snapshot is params-only; re-save it with "
+            "batch_stats (Solver snapshots and vlp3d-import-torch "
+            "output both include them)."
+        )
     sd: dict = {}
 
     # backbone

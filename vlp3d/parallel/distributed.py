@@ -195,6 +195,33 @@ def place_global(mesh: Mesh, tree, specs=None):
     return jax.tree.map(put, tree, specs)
 
 
+def host_global(tree):
+    """Materialize a (possibly multi-host-sharded) pytree to host numpy
+    on every process — the inverse of replicate_global/place_global.
+
+    np.asarray raises on an array with non-addressable shards (e.g.
+    ZeRO-1 moments sharded 1/N over the GLOBAL data axis: each process
+    holds only its slice), so such leaves are first all-gathered across
+    processes. Fully-addressable leaves (replicated state, single
+    process) go straight to numpy. Used by checkpointing and
+    re-placement (warm_start) so multi-host ZeRO-1 runs can save."""
+    from jax.experimental import multihost_utils
+
+    def fix(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # tiled=True is REQUIRED for global non-fully-addressable
+            # arrays (and is a no-op reassembly for them: the result is
+            # the global value, not a concatenation)
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            )
+        if hasattr(x, "ndim"):
+            return np.asarray(x)
+        return x
+
+    return jax.tree.map(fix, tree)
+
+
 def shard_host_batch(
     mesh: Mesh,
     batch: dict,

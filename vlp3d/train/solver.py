@@ -310,10 +310,13 @@ class Solver:
         ZeRO-1 moment shardings / plain replication)."""
         if self.n_proc > 1:
             from vlp3d.parallel.distributed import (
-                place_global, replicate_global,
+                host_global, place_global, replicate_global,
             )
 
-            host = jax.tree.map(np.asarray, new_state)
+            # host_global, not np.asarray: a warm_start re-placement may
+            # receive an ALREADY-placed state whose ZeRO moments are
+            # sharded across processes (non-addressable to np.asarray)
+            host = host_global(new_state)
             if not self.zero1:
                 return replicate_global(self.mesh, host)
             # ZeRO-1 x multi-host: moments shard 1/N over the global
@@ -722,9 +725,17 @@ class Solver:
                 raise KeyboardInterrupt
             old_term = signal.signal(signal.SIGTERM, _on_term)
         epoch = start_epoch
+        # last epoch whose training fully completed — what the interrupt
+        # checkpoint must be stamped with. Stamping the CURRENT epoch
+        # would make --auto_resume skip the interrupted epoch's remaining
+        # batches; stamping done_epoch replays it from the top instead
+        # (conservative: a few duplicated updates, never silently-missing
+        # training).
+        done_epoch = start_epoch - 1
         try:
             for epoch in range(start_epoch, epochs):
                 self.train_epoch(epoch)
+                done_epoch = epoch
                 self._snapshot("model_last")
                 if epoch == 49:
                     self._snapshot("epoch_50")
@@ -778,17 +789,23 @@ class Solver:
             # save-and-exit on interrupt/preemption (solver_3dvlp.py:356-359).
             # With donation, an interrupt landing INSIDE a train-step
             # dispatch leaves self.state pointing at donated (deleted)
-            # buffers; the current step's state is then unsaveable — fall
-            # back to reporting the last periodic checkpoint.
-            try:
-                self._save_full_checkpoint(epoch)
-                print(f"interrupted at epoch {epoch} — checkpoint saved "
-                      f"to {self.workdir}")
-            except Exception as e:  # noqa: BLE001 — deleted-buffer only
-                if "delete" not in str(e).lower():
-                    raise
-                print(f"interrupted at epoch {epoch} mid-step; live state "
-                      f"was donated — resume from the last periodic "
+            # buffers. Probe liveness BEFORE attempting the save: orbax's
+            # save(force=True) deletes the existing checkpoint dir before
+            # serializing, so a save that would fail on deleted buffers
+            # must not start — it would destroy the last good checkpoint.
+            live = self.state is not None and not any(
+                leaf.is_deleted()
+                for leaf in jax.tree.leaves(self.state)
+                if isinstance(leaf, jax.Array)
+            )
+            if live:
+                self._save_full_checkpoint(done_epoch)
+                print(f"interrupted during epoch {epoch} — checkpoint "
+                      f"(through epoch {done_epoch}) saved to "
+                      f"{self.workdir}")
+            else:
+                print(f"interrupted during epoch {epoch} mid-step; live "
+                      f"state was donated — resume from the existing "
                       f"checkpoint in {self.workdir}")
             self._log({"phase": "interrupt", "epoch": epoch})
             self._finish()
@@ -801,11 +818,16 @@ class Solver:
         return self.best
 
     def _save_full_checkpoint(self, epoch: int) -> None:
-        if not self.is_main:
-            return
         state = self.state
         if self.n_proc > 1:
-            state = jax.tree.map(np.asarray, state)
+            # every process participates in the all-gather of any
+            # cross-host ZeRO-sharded moments (host_global is a
+            # collective); only rank 0 then writes
+            from vlp3d.parallel.distributed import host_global
+
+            state = host_global(state)
+        if not self.is_main:
+            return
         ckpt.save_checkpoint(self.workdir, state, self.best, epoch)
 
     def _finish(self) -> None:
@@ -847,6 +869,8 @@ class Solver:
             )
         )
         # keep the placement (Megatron/ZeRO shardings) the state was
-        # created with
+        # created with; re-jit so pinned out_shardings/donation bind to
+        # the NEW placed state, not a stale cached entry
         self.state = self._place_state(new_state)
+        self._model_cache.clear()
         return n_restored, n_skipped
