@@ -69,6 +69,10 @@ def _steady_ms(step_fn, *operands, reps=REPS):
 
 
 def _emit(name, ms, extra=None):
+    extra = dict(extra or {})
+    if "floor_ms" in extra:
+        # speed-of-light fraction: measured / structural floor
+        extra["x_floor"] = round(ms / extra["floor_ms"], 2)
     print(
         json.dumps(
             {
@@ -77,7 +81,7 @@ def _emit(name, ms, extra=None):
                 "scenes_per_sec_per_chip": round(BATCH / (ms / 1e3), 1),
                 "batch_size": BATCH,
                 "num_points": NUM_POINTS,
-                **(extra or {}),
+                **extra,
             }
         )
     )
@@ -115,7 +119,24 @@ def bench_sa_stack():
         # dead-code-slice the rest of the stack (measured 0.05 ms "steps")
         return c + 1e-12 * jnp.sum(out["fp2_features"]), None
 
-    _emit("pointnet2_sa_stack", _steady_ms(step, v, pc))
+    _emit(
+        "pointnet2_sa_stack", _steady_ms(step, v, pc),
+        _floor_fields(11.3, "sum of analyzed SA1 whale floors (leaf-row "
+                            "gathers ~6.5 + ball query ~2.0 + FPS ~2.8 ms, "
+                            "PERF.md train-step profile) — a strict "
+                            "underestimate: SA2-4/FP/MLP floors not "
+                            "included"),
+    )
+
+
+def _floor_fields(floor_ms_b8: float, basis: str):
+    """Speed-of-light annotation (VERDICT r04 item 6): structural floor
+    scaled from its batch-8 derivation, so every suite entry carries how
+    far from the hardware limit the exact-parity semantics run (_emit
+    adds x_floor = measured/floor). The gather/VPU-bound floors scale
+    linearly in batch."""
+    floor = floor_ms_b8 * (BATCH / 8.0)
+    return {"floor_ms": round(floor, 2), "floor_basis": basis}
 
 
 def _jointnet(no_reference, no_caption, use_con, istrain):
@@ -150,7 +171,12 @@ def bench_detection():
         )
         return c + 1e-12 * consumed, None
 
-    _emit("votenet_detection", _steady_ms(step, v, batch))
+    _emit(
+        "votenet_detection", _steady_ms(step, v, batch),
+        _floor_fields(11.3, "analyzed SA1 whale floors only (PERF.md "
+                            "train-step profile); voting/proposal floors "
+                            "not derived — strict underestimate"),
+    )
 
 
 def bench_grounding():
@@ -165,7 +191,12 @@ def bench_grounding():
         consumed = jnp.sum(out["cluster_ref"]) + jnp.sum(out["pred_center"])
         return c + 1e-12 * consumed, None
 
-    _emit("scanrefer_grounding", _steady_ms(step, v, batch))
+    _emit(
+        "scanrefer_grounding", _steady_ms(step, v, batch),
+        _floor_fields(11.3, "analyzed SA1 whale floors only (PERF.md "
+                            "train-step profile); BERT/match/relation "
+                            "floors not derived — strict underestimate"),
+    )
 
 
 def bench_captioning():
@@ -233,11 +264,68 @@ def bench_joint_train():
     ms = (time.perf_counter() - t0) / REPS * 1e3
     assert ms * REPS > 5.0, "below relay dispatch floor — nothing measured"
     _emit("joint_pretrain_train_step", ms,
-          {"loss_finite": bool(jnp.isfinite(losses).all())})
+          {"loss_finite": bool(jnp.isfinite(losses).all()),
+           **_floor_fields(
+               30.0, "sum of analyzed fwd+bwd whale floors (PERF.md "
+                     "train-step device profile: SA1 gathers ~6.5, ball "
+                     "query ~2.0, FPS ~2.8, residual stash ~3.8, "
+                     "scatter-backward fusions ~7, BN/attention/loss "
+                     "tail ~8) — every named op measured within ~2x of "
+                     "its floor; tail floors approximate")})
+
+
+def bench_op_floors():
+    """Speed-of-light fractions for the two endgame'd kernels, measured
+    standalone at canonical shapes vs their DERIVED structural floors
+    (VERDICT r04 item 6 — the driver artifact itself carries the
+    MFU-equivalent evidence for this gather/VPU-bound workload):
+
+      * Pallas FPS 40960 -> 2048: ~2.8 ms pure VPU issue for the exact
+        dense algorithm (PERF.md "FPS endgame analysis" — 2047 iters x
+        ~7-8 passes over the (8, 40960) state at ~2 ops/cycle).
+      * SA1 ball query (r=0.2, 64 nbrs, 2048 centers): ~2.0 ms for the
+        671M FMA-form distance evaluations the scan-order first-k
+        reference semantics require (PERF.md ball-query endgame).
+
+    Both floors scale linearly in batch. reps=24 amortizes the
+    ~30 ms relay dispatch to ~1 ms/step so the fraction reflects
+    the kernel, not the tunnel."""
+    from vlp3d.ops import ball_query, furthest_point_sample, gather_points
+
+    rng = np.random.default_rng(0)
+    xyz = jax.device_put(
+        jnp.asarray(
+            rng.uniform(0, 5, (BATCH, NUM_POINTS, 3)).astype(np.float32)
+        )
+    )
+
+    def fps_step(c, xyz):
+        idx = furthest_point_sample(xyz.at[:, 0, 0].add(c * 1e-7), 2048)
+        return c + 1e-12 * jnp.sum(idx.astype(jnp.float32)), None
+
+    ms = _steady_ms(fps_step, xyz, reps=24)
+    _emit("op_fps", ms,
+          _floor_fields(2.8, "VPU issue floor of the exact dense "
+                             "algorithm (PERF.md 'FPS endgame analysis')"))
+
+    centers = jax.jit(
+        lambda x: gather_points(x, furthest_point_sample(x, 2048))
+    )(xyz)
+
+    def bq_step(c, xyz, centers):
+        idx = ball_query(0.2, 64, xyz.at[:, 0, 0].add(c * 1e-7), centers)
+        return c + 1e-12 * jnp.sum(idx.astype(jnp.float32)), None
+
+    ms = _steady_ms(bq_step, xyz, centers, reps=24)
+    _emit("op_ball_query", ms,
+          _floor_fields(2.0, "VPU floor of the 671M FMA-form distance "
+                             "evaluations the exact scan-order first-k "
+                             "semantics require (PERF.md)"))
 
 
 BENCHES = {
     "sa_stack": bench_sa_stack,
+    "op_floors": bench_op_floors,
     "detection": bench_detection,
     "grounding": bench_grounding,
     "captioning": bench_captioning,

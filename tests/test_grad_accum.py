@@ -10,6 +10,7 @@ no accumulation, SURVEY §2.5/§2.7)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 from jax.sharding import PartitionSpec as P
 
@@ -100,6 +101,7 @@ def test_accumulator_gets_zero1_sharding():
     assert mu and all(DATA_AXIS in tuple(s) for s in mu.values()), hits
 
 
+@pytest.mark.slow
 def test_solver_grad_accum_flag(tmp_path):
     """Solver(grad_accum=2) trains end-to-end; params move every other
     iteration only."""

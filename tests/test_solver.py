@@ -38,7 +38,13 @@ def test_solver_one_epoch(tmp_path):
     best = solver(2, eval_every=1)
     assert best["epoch"] >= 1
     assert os.path.exists(os.path.join(str(tmp_path), "model_last"))
-    assert os.path.exists(os.path.join(str(tmp_path), "checkpoint"))
+    # A/B alternation: the committed resume checkpoint lives in the slot
+    # checkpoint_meta.json names (never an in-place 'checkpoint' rewrite)
+    from vlp3d.train.checkpoint import _live_ckpt_dir
+
+    assert os.path.exists(
+        os.path.join(str(tmp_path), _live_ckpt_dir(str(tmp_path)))
+    )
     assert os.path.exists(os.path.join(str(tmp_path), "log.jsonl"))
     # tensorboard dual writers emitted event files with scalar records
     import glob

@@ -47,6 +47,7 @@ def _sharded_leaves(opt_state):
     ]
 
 
+@pytest.mark.slow
 def test_zero1_shards_moments_and_matches_replicated():
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     mesh, config, batch, model, optimizer, state, train_step = _setup()
@@ -322,6 +323,7 @@ def test_moment_spec_coverage_jointnet():
     assert n_checked >= 2 * len(trainable_tp)  # mu and nu at least
 
 
+@pytest.mark.slow
 def test_zero1_solver_flag(tmp_path):
     """Solver(zero1=True) places and trains; warm_start keeps the
     shardings."""

@@ -208,18 +208,30 @@ def resume_solver(solver, args, workdir: str) -> int:
     the epoch/curriculum clock at the epoch after the last COMPLETED one
     (ours — the reference restarts the clock at 0)."""
     resume_from = getattr(args, "use_checkpoint", "")
+    continue_clock = False
     if (
         getattr(args, "auto_resume", False)
         and not resume_from
         and os.path.exists(os.path.join(workdir, "checkpoint_meta.json"))
     ):
+        # the run's OWN checkpoint: continue the epoch/curriculum clock
         resume_from = workdir
+        continue_clock = True
     if not resume_from:
         return 0
     from vlp3d.train.checkpoint import load_checkpoint
 
     solver.state, meta = load_checkpoint(resume_from, solver.state)
     solver.best.update(meta.get("best", {}))
+    if not continue_clock:
+        # explicit --use_checkpoint = fine-tuning-style restart: weights/
+        # optimizer/best restored but the epoch clock starts at 0, like
+        # the reference (train_3dvlp.py:160-171). Continuing the clock
+        # here silently trained ZERO epochs when pointed at a finished
+        # run with the same --epochs (ADVICE r04).
+        print(f"restored {resume_from} (saved @ epoch {meta['epoch']}) — "
+              f"epoch clock restarts at 0 (--auto_resume continues it)")
+        return 0
     start_epoch = int(meta["epoch"]) + 1
     print(f"resumed from {resume_from} @ epoch {meta['epoch']} — "
           f"continuing at epoch {start_epoch}")

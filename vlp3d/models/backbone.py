@@ -82,15 +82,19 @@ class PointNet2Backbone(nn.Module):
         sa1_xyz, sa1_f, sa1_inds = call_sa(SAModule(
             np_[0], r[0], ns[0], [64, 64, 128], bn_momentum=m, name="sa1", dtype=dt,
             leaf_inputs=True,  # raw inputs: scatter-free backward
+            remat_tags=self.remat,
         ), xyz, features, sa1_precomputed)
         sa2_xyz, sa2_f, sa2_inds = call_sa(SAModule(
-            np_[1], r[1], ns[1], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa2"
+            np_[1], r[1], ns[1], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa2",
+            remat_tags=self.remat,
         ), sa1_xyz, sa1_f, None)
         sa3_xyz, sa3_f, sa3_inds = call_sa(SAModule(
-            np_[2], r[2], ns[2], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa3"
+            np_[2], r[2], ns[2], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa3",
+            remat_tags=self.remat,
         ), sa2_xyz, sa2_f, None)
         sa4_xyz, sa4_f, sa4_inds = call_sa(SAModule(
-            np_[3], r[3], ns[3], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa4"
+            np_[3], r[3], ns[3], [128, 128, 256], bn_momentum=m, dtype=dt, name="sa4",
+            remat_tags=self.remat,
         ), sa3_xyz, sa3_f, None)
 
         f = call_fp(

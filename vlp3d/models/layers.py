@@ -93,6 +93,12 @@ class SAModule(nn.Module):
     # to reach the weight gradients). Inference keeps the fused 64-lane
     # gather, which is 2x faster forward (single-tile rows).
     leaf_inputs: bool = False
+    # Tag the FPS/ball-query index tensors with the POINT_INDS residual
+    # name for the remat save-policy. Only meaningful under jax.checkpoint
+    # (PointNet2Backbone.remat); kept off otherwise so the non-remat
+    # compiled program is byte-identical to pre-tag builds (the r04 bench
+    # ran with unconditional tags — a bisect suspect, VERDICT r04).
+    remat_tags: bool = False
 
     @nn.compact
     def __call__(
@@ -117,14 +123,17 @@ class SAModule(nn.Module):
         Returns (new_xyz (B, npoint, 3), new_features (B, npoint, mlp[-1]),
         inds (B, npoint) i32).
         """
+        tag = (
+            (lambda x: checkpoint_name(x, POINT_INDS))
+            if self.remat_tags
+            else (lambda x: x)
+        )
         if precomputed is not None:
             new_xyz, grouped_pre, inds = precomputed
         else:
             grouped_pre = None
             if inds is None:
-                inds = checkpoint_name(
-                    furthest_point_sample(xyz, self.npoint), POINT_INDS
-                )
+                inds = tag(furthest_point_sample(xyz, self.npoint))
             new_xyz = gather_points(xyz, inds)
 
         if not (self.fuse_first_layer and self.use_xyz and features is not None):
@@ -139,6 +148,7 @@ class SAModule(nn.Module):
                     features,
                     use_xyz=self.use_xyz,
                     normalize_xyz=self.normalize_xyz,
+                    remat_tag=self.remat_tags,
                 )  # (B, npoint, nsample, 3 + C)
             out = PointMLP(
                 self.mlp, bn_momentum=self.bn_momentum, dtype=self.dtype
@@ -160,10 +170,7 @@ class SAModule(nn.Module):
             # scaled); identical math + param tree to the paths below
             x = w_feat(grouped_pre[..., 3:]) + w_xyz(grouped_pre[..., :3])
         elif self.leaf_inputs and train:
-            idx = checkpoint_name(
-                ball_query(self.radius, self.nsample, xyz, new_xyz),
-                POINT_INDS,
-            )
+            idx = tag(ball_query(self.radius, self.nsample, xyz, new_xyz))
             # xyz/features are raw inputs: gather rows FIRST (the gather
             # has no VJP to compute), then apply the split first linear.
             src = jax.lax.stop_gradient(
@@ -175,10 +182,7 @@ class SAModule(nn.Module):
             ) * scale
             x = w_feat(grouped[..., 3:]) + w_xyz(gxyz)
         else:
-            idx = checkpoint_name(
-                ball_query(self.radius, self.nsample, xyz, new_xyz),
-                POINT_INDS,
-            )
+            idx = tag(ball_query(self.radius, self.nsample, xyz, new_xyz))
             # Fold the xyz half into the gathered tensor:
             # W(g(xyz) - c)/r == g(W(xyz))/r - W(c)/r, so ONE gather moves
             # both the feature pre-activations and the recentred-coordinate

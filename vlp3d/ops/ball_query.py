@@ -188,6 +188,7 @@ def query_and_group(
     use_xyz: bool = True,
     normalize_xyz: bool = False,
     chunk: int = 256,
+    remat_tag: bool = False,
 ):
     """Ball query + grouping, channels-last.
 
@@ -203,16 +204,17 @@ def query_and_group(
       (grouped, grouped_xyz): grouped is (B, M, nsample, 3 + C) if use_xyz
       else (B, M, nsample, C); grouped_xyz is (B, M, nsample, 3).
     """
-    from jax.ad_checkpoint import checkpoint_name
-
     from vlp3d.ops.grouping import group_points
 
-    # remat residual tag (see vlp3d.models.layers.POINT_INDS): keep the
-    # selection indices as saved residuals under a
-    # save_only_these_names("point_inds") checkpoint policy
-    idx = checkpoint_name(
-        ball_query(radius, nsample, xyz, new_xyz, chunk=chunk), "point_inds"
-    )
+    idx = ball_query(radius, nsample, xyz, new_xyz, chunk=chunk)
+    if remat_tag:
+        # remat residual tag (see vlp3d.models.layers.POINT_INDS): keep
+        # the selection indices as saved residuals under a
+        # save_only_these_names("point_inds") checkpoint policy. Off by
+        # default so non-remat programs carry no name primitives.
+        from jax.ad_checkpoint import checkpoint_name
+
+        idx = checkpoint_name(idx, "point_inds")
     grouped_xyz = group_points(xyz, idx)  # (B, M, nsample, 3)
     grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
     if normalize_xyz:

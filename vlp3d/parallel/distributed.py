@@ -222,6 +222,28 @@ def host_global(tree):
     return jax.tree.map(fix, tree)
 
 
+def all_processes_agree(flag: bool) -> bool:
+    """Collective AND of a per-process bit (single-process: identity).
+
+    Used by the solver's interrupt save: SIGTERM lands at different
+    instants on different hosts, so ranks can disagree on whether their
+    local state survived (one interrupted mid-step with donated buffers,
+    another between steps). _save_full_checkpoint starts with a
+    host_global all-gather, and a rank entering it alone hangs until the
+    preemption deadline hard-kills it — so the DECISION must be
+    collective before the gather: save only if every rank is live,
+    otherwise every rank skips and the last periodic checkpoint stands.
+    """
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    bits = multihost_utils.process_allgather(
+        np.asarray(bool(flag), dtype=np.bool_)
+    )
+    return bool(np.all(bits))
+
+
 def shard_host_batch(
     mesh: Mesh,
     batch: dict,

@@ -131,21 +131,51 @@ def _flatten(tree, prefix=()):
     return out
 
 
+def _live_ckpt_dir(root: str) -> str:
+    """Name of the committed resume-checkpoint dir per checkpoint_meta
+    ('checkpoint' for pre-A/B snapshots without a 'dir' key)."""
+    meta_path = os.path.join(root, "checkpoint_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f).get("dir", "checkpoint")
+    return "checkpoint"
+
+
 def save_checkpoint(root: str, state, best: dict, epoch: int) -> None:
     """Resume checkpoint: synchronous — checkpoint_meta.json must only
-    ever describe a fully committed state tree."""
+    ever describe a fully committed state tree.
+
+    A/B alternation: save(force=True) DELETES the target dir before
+    serializing, so writing the live dir in place would let a hard kill
+    (SIGKILL at the preemption grace deadline) landing mid-save destroy
+    the last good checkpoint — the exact scenario --auto_resume exists
+    for. Instead each save goes to the non-live slot (checkpoint_a /
+    checkpoint_b) and checkpoint_meta.json flips to name it only after
+    the commit completes; a kill at ANY instant leaves the previous
+    meta + its fully-committed dir intact."""
+    live = _live_ckpt_dir(root)
+    target = "checkpoint_b" if live == "checkpoint_a" else "checkpoint_a"
     ckptr = _checkpointer()
     ckptr.wait_until_finished()
-    ckptr.save(_path(root, "checkpoint"), state, force=True)
+    ckptr.save(_path(root, target), state, force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(root, "checkpoint_meta.json"), "w") as f:
-        json.dump({"epoch": epoch, "best": jax.tree_util.tree_map(float, best)}, f)
+    meta = {
+        "epoch": epoch,
+        "best": jax.tree_util.tree_map(float, best),
+        "dir": target,
+    }
+    tmp = os.path.join(root, "checkpoint_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, "checkpoint_meta.json"))
 
 
 def load_checkpoint(root: str, state_template):
     ckptr = _checkpointer()
     ckptr.wait_until_finished()
-    state = ckptr.restore(_path(root, "checkpoint"), state_template)
     with open(os.path.join(root, "checkpoint_meta.json")) as f:
         meta = json.load(f)
+    state = ckptr.restore(
+        _path(root, meta.get("dir", "checkpoint")), state_template
+    )
     return state, meta

@@ -735,7 +735,6 @@ class Solver:
         try:
             for epoch in range(start_epoch, epochs):
                 self.train_epoch(epoch)
-                done_epoch = epoch
                 self._snapshot("model_last")
                 if epoch == 49:
                     self._snapshot("epoch_50")
@@ -783,6 +782,14 @@ class Solver:
                                 self.best[f"best_caption_{m}"] = float(val[m])
                             self._snapshot("caption_model")
 
+                # the epoch counts as done only once its eval + best-model
+                # snapshotting completed: an interrupt landing during
+                # eval_epoch(E) then replays E on --auto_resume instead of
+                # silently skipping E's eval/taxonomy updates (replayed
+                # training is duplicated-but-never-missing, the same
+                # conservative policy as mid-epoch interrupts).
+                done_epoch = epoch
+
                 if epoch % 10 == 0 and epoch != 0:
                     self._save_full_checkpoint(epoch)
         except KeyboardInterrupt:
@@ -798,6 +805,17 @@ class Solver:
                 for leaf in jax.tree.leaves(self.state)
                 if isinstance(leaf, jax.Array)
             )
+            if self.n_proc > 1:
+                # SIGTERM lands at different instants on different hosts,
+                # so ranks can disagree on `live`; the save is a
+                # collective (host_global all-gather), and a rank
+                # entering it alone hangs until the preemption deadline.
+                # Make the decision collective FIRST: save only if every
+                # rank is live, else all skip (the last periodic
+                # checkpoint stands).
+                from vlp3d.parallel.distributed import all_processes_agree
+
+                live = all_processes_agree(bool(live))
             if live:
                 self._save_full_checkpoint(done_epoch)
                 print(f"interrupted during epoch {epoch} — checkpoint "
