@@ -10,10 +10,23 @@
 
 PY ?= python
 
-.PHONY: verify smoke dryrun entry test
+.PHONY: verify preflight smoke dryrun entry test bench
 
 verify: smoke dryrun entry
 	@echo "make verify: ALL GATES GREEN"
+
+# Final-tree verification gate (VERDICT r04 item 4): smoke tier + the
+# full multi-chip dryrun + single-chip entry compile + the headline
+# bench. Run against the EXACT tree being snapshotted, as the LAST act
+# of a round; paste its tail into PROGRESS.md. r03 shipped a crashed
+# dryrun and r04 a timed-out one — both discovered by the driver, not
+# the builder; this target makes that impossible to repeat silently.
+preflight: smoke dryrun entry bench
+	@echo "make preflight: ALL GATES GREEN"
+
+# headline benchmark (one JSON line on the real chip)
+bench:
+	$(PY) bench.py
 
 # sub-60s single-core liveness tier (imports every module, one fused
 # jitted train step, host-side eval math)

@@ -37,6 +37,7 @@ def test_validate_all_checks_ok(assets, tmp_path):
         "--scannet_data", str(assets / "scannet_data"),
         "--scanrefer_dir", str(assets / "scanrefer"),
         "--scanqa_dir", str(assets / "scanqa"),
+        "--multiview_nomv_data", str(assets / "scannet_data_nomv"),
         "--num_points", "512",
         "--num_proposals", "16",
         "--out", str(out),
@@ -46,7 +47,7 @@ def test_validate_all_checks_ok(assets, tmp_path):
     assert report["ok"], report
     for name in ("tokenizer_golden", "bert_weight_import", "scene_cache",
                  "predict_contract", "grounding_acc", "caption_smoke",
-                 "vqa_smoke"):
+                 "vqa_smoke", "multiview_hdf5", "torch_import_chain"):
         assert report["checks"][name]["status"] == "ok", (
             name, report["checks"][name])
     # contract details
@@ -68,6 +69,12 @@ def test_validate_all_checks_ok(assets, tmp_path):
         assert np.isfinite(v)
     vqa = report["checks"]["vqa_smoke"]
     assert vqa["questions"] == 3 and 0.0 <= vqa["em_at_1"] <= 1.0
+    # the hdf5-assembled cloud reproduced the baked cache bit-for-bit
+    mv = report["checks"]["multiview_hdf5"]
+    assert mv["bit_identical_to_baked"] and mv["item_channels"] == 135
+    # the .pth -> import CLI -> predict chain round-tripped the probe leaf
+    chain = report["checks"]["torch_import_chain"]
+    assert chain["pred_finite"] and chain["probe_leaf"]
 
 
 @pytest.mark.slow

@@ -25,6 +25,14 @@ machine-readable report:
                        descriptions (finite-metric smoke)
   vqa_smoke            one-scene ScanQA questions through the answer
                        head -> EM@1/@10 (train_qa.py contract)
+  multiview_hdf5       enet_feats_maxpool.hdf5 modality: 6-col cache +
+                       hdf5 assemble bit-identically to the baked
+                       [xyz, normal, multiview] cloud, flow through a
+                       dataset item (lib/configs/config.py:45)
+  torch_import_chain   reference-layout .pth -> vlp3d-import-torch ->
+                       checkpoint dir -> predict on the imported
+                       weights (the --pretrain handoff,
+                       train_3dvlp.py:115-121)
 
 Each check reports ok / fail / skipped(+reason). Exit code 1 iff any
 non-skipped check fails. Reference contracts: run.sh:1,
@@ -511,6 +519,125 @@ def check_vqa_smoke(args) -> dict:
             "note": "random weights unless --model_dir given"}
 
 
+def check_multiview_hdf5(args) -> dict:
+    """The enet_feats_maxpool.hdf5 input modality (lib/configs/config.py:45,
+    consumed per-point by the task-variant datasets): a 6-column
+    (xyz, normal) scene cache + the hdf5 features must assemble into the
+    same [xyz, normal, multiview] cloud a baked preprocess cache carries,
+    and the assembled features must flow through a dataset __getitem__."""
+    import numpy as np
+
+    from vlp3d.data.dataset import DirectorySceneSource
+
+    root = args.multiview_nomv_data
+    hdf5 = os.path.join(root, "enet_feats_maxpool.hdf5")
+    if not os.path.isfile(hdf5):
+        return {"status": "skipped",
+                "reason": "needs --multiview_nomv_data with "
+                          "enet_feats_maxpool.hdf5"}
+    scene = _scene_id(args)
+    source = DirectorySceneSource(root, multiview_hdf5=hdf5)
+    assembled = source(scene, args.split)["point_cloud"]
+    n_mv = 128
+    assert assembled.shape[1] >= 3 + n_mv, assembled.shape
+    result = {"status": "ok", "columns": int(assembled.shape[1])}
+
+    if args.scannet_data:
+        baked = DirectorySceneSource(args.scannet_data)(
+            scene, args.split)["point_cloud"]
+        if baked.shape == assembled.shape:
+            np.testing.assert_array_equal(assembled, baked)
+            result["bit_identical_to_baked"] = True
+
+    # the appended features survive the dataset's sampling/height chain
+    from vlp3d.cli.common import load_scanrefer
+    from vlp3d.data.dataset import ScanReferJointDataset
+    from vlp3d.data.tokenizer import load_tokenizer
+
+    anns = [d for d in load_scanrefer(args.scanrefer_dir, args.split)
+            if d["scene_id"] == scene][:2]
+    ds = ScanReferJointDataset(
+        anns, source,
+        load_tokenizer(os.path.join(args.bert_dir, "vocab.txt")
+                       if args.bert_dir else None),
+        split=args.split, num_points=min(args.num_points, 512),
+        lang_num_max=1, use_height=True,
+        mean_size_arr=None, raw2label={}, nyu40id2class={},
+        seed=0,
+    )
+    item = ds[0]
+    pc = item["point_clouds"]
+    # xyz + normal(3) + multiview(128) + height(1)
+    assert pc.shape[1] == 3 + 3 + n_mv + 1, pc.shape
+    assert np.isfinite(pc).all()
+    # the multiview block is live data, not zero padding
+    assert float(np.abs(pc[:, 6:6 + n_mv]).max()) > 0
+    result["item_channels"] = int(pc.shape[1])
+    return result
+
+
+def check_torch_import_chain(args, env) -> dict:
+    """End-to-end --pretrain consumption chain (train_3dvlp.py:115-121 /
+    the vlp3d-import-torch -> --model_dir handoff): a reference-layout
+    .pth on disk -> import CLI -> orbax checkpoint dir -> predict. Run
+    on stand-ins so the chain's rot is visible before a machine with
+    real reference checkpoints exists."""
+    import subprocess
+    import sys as _sys
+
+    import jax
+    import numpy as np
+    import torch
+
+    from vlp3d.data.dataset import BatchIterator
+    from vlp3d.models.torch_export import export_jointnet_state_dict
+    from vlp3d.train import checkpoint as ckpt
+
+    ds, model, state, infer, config, anns = env
+    # a recognizable, NOT-fresh-init weight set: perturb one leaf so the
+    # chain's identity is provable at the end
+    params = jax.tree_util.tree_map(lambda x: x, state.params)
+    probe_path = ("match", "Dense_0", "kernel")
+    leaf = params["match"]["Dense_0"]["kernel"]
+    params["match"]["Dense_0"]["kernel"] = leaf * 1.01 + 0.001
+
+    sd = export_jointnet_state_dict(params, state.batch_stats)
+    tdir = os.path.join(os.path.dirname(os.path.abspath(args.out)),
+                        "standin_torch_ckpt")
+    os.makedirs(tdir, exist_ok=True)
+    pth = os.path.join(tdir, "model_last.pth")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, pth)
+
+    out_dir = os.path.join(tdir, "imported")
+    fusion = getattr(config.model, "fusion_layer", 6)
+    proc = subprocess.run(
+        [_sys.executable, "-m", "vlp3d.cli.import_torch",
+         "--checkpoint", pth, "--out", out_dir,
+         "--fusion_layer", str(fusion)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+
+    snap = ckpt.load_params(out_dir, "model")
+    got = np.asarray(
+        snap["params"]["match"]["Dense_0"]["kernel"])
+    np.testing.assert_allclose(
+        got, np.asarray(params["match"]["Dense_0"]["kernel"]),
+        rtol=0, atol=0)
+
+    # ...and predict runs on the imported weights
+    batch = next(iter(BatchIterator(ds, min(2, len(ds)), drop_last=False)))
+    arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+    out = infer(snap["params"],
+                snap.get("batch_stats", state.batch_stats), arrays)
+    conf = np.asarray(out["cluster_ref"])
+    assert np.isfinite(conf).all()
+    return {"status": "ok", "probe_leaf": "/".join(probe_path),
+            "pth": pth, "imported_dir": out_dir,
+            "pred_finite": True}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="asset-gated validation runbook (see module doc)")
@@ -525,6 +652,10 @@ def main(argv=None):
                    help="dir with ScanQA_v1.0_{split}.json")
     p.add_argument("--labels_tsv", default="")
     p.add_argument("--mean_size_npz", default="")
+    p.add_argument("--multiview_nomv_data", default="",
+                   help="scene cache WITHOUT baked multiview plus "
+                        "enet_feats_maxpool.hdf5 (the task-variant "
+                        "datasets' input modality)")
     p.add_argument("--model_dir", default="",
                    help="trained vlp3d checkpoint dir (optional)")
     p.add_argument("--scene_id", default="")
@@ -568,6 +699,13 @@ def main(argv=None):
     run("bert_weight_import", check_bert_weight_import, args)
     run("scene_cache", check_scene_cache, args)
     run("vqa_smoke", check_vqa_smoke, args)
+    if args.multiview_nomv_data:
+        run("multiview_hdf5", check_multiview_hdf5, args)
+    else:
+        checks["multiview_hdf5"] = {
+            "status": "skipped",
+            "reason": "needs --multiview_nomv_data",
+        }
 
     env = None
     if (args.scannet_data and args.scanrefer_dir
@@ -583,8 +721,10 @@ def main(argv=None):
         run("predict_contract", check_predict_contract, args, env)
         run("grounding_acc", check_grounding_acc, args, env)
         run("caption_smoke", check_caption_smoke, args, env)
+        run("torch_import_chain", check_torch_import_chain, args, env)
     else:
-        for name in ("predict_contract", "grounding_acc", "caption_smoke"):
+        for name in ("predict_contract", "grounding_acc", "caption_smoke",
+                     "torch_import_chain"):
             checks.setdefault(name, {
                 "status": "skipped",
                 "reason": "needs --scannet_data and --scanrefer_dir",

@@ -99,6 +99,30 @@ def write_scene_assets(scannet_data, rng, stale: bool = False) -> None:
     np.save(os.path.join(scannet_data, f"{SCENE}_ins_label.npy"), ins)
     np.save(os.path.join(scannet_data, f"{SCENE}_sem_label.npy"), sem)
     np.save(os.path.join(scannet_data, f"{SCENE}_aligned_bbox.npy"), bboxes)
+    return {"xyz": xyz, "normals": normals, "mv": mv, "ins": ins,
+            "sem": sem, "bboxes": bboxes}
+
+
+def write_scene_assets_nomv(nomv_dir, arrays) -> str:
+    """The multiview-as-hdf5 flavor of the same scene: a 6-column
+    (xyz, normals) preprocess npy plus `enet_feats_maxpool.hdf5` holding
+    the per-point 128-d block under the scene_id key — the layout the
+    reference's task-variant datasets consume (lib/configs/config.py:45,
+    lib/vqa/dataset.py:967-990). Appending the hdf5 features to the npy
+    must reproduce the baked [xyz, normal, multiview] cache
+    bit-for-bit. Returns the hdf5 path."""
+    import h5py
+
+    pc = np.concatenate([arrays["xyz"], arrays["normals"]], axis=1)
+    np.save(os.path.join(nomv_dir, f"{SCENE}_preprocess_val.npy"), pc)
+    np.save(os.path.join(nomv_dir, f"{SCENE}_ins_label.npy"), arrays["ins"])
+    np.save(os.path.join(nomv_dir, f"{SCENE}_sem_label.npy"), arrays["sem"])
+    np.save(os.path.join(nomv_dir, f"{SCENE}_aligned_bbox.npy"),
+            arrays["bboxes"])
+    hdf5_path = os.path.join(nomv_dir, "enet_feats_maxpool.hdf5")
+    with h5py.File(hdf5_path, "w") as f:
+        f.create_dataset(SCENE, data=arrays["mv"])
+    return hdf5_path
 
 
 def write_scanqa(scanqa_dir) -> None:
@@ -147,10 +171,12 @@ def write_standin_assets(root: str, seed: int = 7) -> dict:
         "scanrefer_dir": os.path.join(root, "scanrefer"),
         "scanqa_dir": os.path.join(root, "scanqa"),
     }
+    paths["multiview_nomv_data"] = os.path.join(root, "scannet_data_nomv")
     for p in paths.values():
         os.makedirs(p, exist_ok=True)
     write_bert_assets(paths["bert_dir"])
-    write_scene_assets(paths["scannet_data"], rng)
+    arrays = write_scene_assets(paths["scannet_data"], rng)
+    write_scene_assets_nomv(paths["multiview_nomv_data"], arrays)
     write_scanrefer(paths["scanrefer_dir"])
     write_scanqa(paths["scanqa_dir"])
     return paths
