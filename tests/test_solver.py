@@ -256,7 +256,10 @@ def test_train_step_donation(tmp_path):
     solver.train_epoch = boom
     best = solver(1, eval_every=1)  # must not raise
     assert best is solver.best
-    ckpt_dir = os.path.join(str(tmp_path / "d"), "checkpoint")
+    from vlp3d.train.checkpoint import _live_ckpt_dir
+
+    root = str(tmp_path / "d")
+    ckpt_dir = os.path.join(root, _live_ckpt_dir(root))
     assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
     with open(os.path.join(str(tmp_path / "d"),
                            "checkpoint_meta.json")) as f:
