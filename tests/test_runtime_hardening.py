@@ -107,7 +107,10 @@ def test_profile_trace_and_sigterm(tmp_path):
     solver.train_epoch = preempted_epoch
     best = solver(5, eval_every=1)  # must not propagate
     assert best is solver.best
-    assert os.path.exists(os.path.join(str(tmp_path), "checkpoint"))
+    from vlp3d.train.checkpoint import _live_ckpt_dir
+
+    assert os.path.exists(
+        os.path.join(str(tmp_path), _live_ckpt_dir(str(tmp_path))))
     with open(os.path.join(str(tmp_path), "checkpoint_meta.json")) as f:
         assert json.load(f)["epoch"] == 0
     # the previous handler was restored on exit

@@ -73,9 +73,11 @@ def test_solver_one_epoch(tmp_path):
     best2 = solver(5, eval_every=1)  # must not propagate the interrupt
     assert best2 is solver.best
     with open(os.path.join(str(tmp_path), "checkpoint_meta.json")) as f:
-        # stamped with the last COMPLETED epoch (-1: the interrupted
-        # epoch 0 never finished, so --auto_resume replays it from 0)
-        assert json.load(f)["epoch"] == -1
+        # the interrupted call completed NO epoch (done_epoch -1), and
+        # the on-disk record already says epoch 1 — the interrupt save
+        # must not regress it (no-regress guard; --auto_resume would
+        # otherwise rewind to replaying from epoch 0)
+        assert json.load(f)["epoch"] == 1
 
 
 @pytest.mark.slow
