@@ -116,22 +116,29 @@ def main():
     consume(infer(variables, batch))
     consume(infer_stream(variables, stream, scalars))
 
+    # Per PERF.md "relay variance": the tunnel's dispatch latency is
+    # bimodal between processes and noisy within one, so take MORE timed
+    # dispatches and report the median (headline) alongside min/max —
+    # a single unlucky dispatch can no longer swing the round artifact.
     sync_times = []
-    for i in range(4):
+    for i in range(7):
         t0 = time.perf_counter()
         consume(infer(variables, vary(batch, i)))
         sync_times.append(time.perf_counter() - t0)
-    sync_ms = float(np.mean(sync_times[1:])) * 1e3
+    sync_ms = float(np.median(sync_times[1:])) * 1e3
 
     times = []
-    for i in range(4):
+    for i in range(7):
         t0 = time.perf_counter()
         consume(infer_stream(variables, stream, vary(scalars, i)))
         times.append(time.perf_counter() - t0)
     # amortize the single dispatch over the stream
-    mean_t = float(np.mean(times[1:])) / STREAM_LEN
+    per_step = [t / STREAM_LEN for t in times[1:]]
+    mean_t = float(np.median(per_step))
     scenes_per_sec = batch_size / mean_t
     assert mean_t * STREAM_LEN > 5e-3, "below relay dispatch floor"
+    step_spread_ms = [round(min(per_step) * 1e3, 2),
+                      round(max(per_step) * 1e3, 2)]
 
     print(
         json.dumps(
@@ -151,6 +158,9 @@ def main():
                 "batch_size": batch_size,
                 "num_points": num_points,
                 "mean_step_ms": round(mean_t * 1e3, 2),
+                # median of 6 timed stream dispatches; [min, max] shows
+                # the intra-run relay spread (PERF.md "relay variance")
+                "step_spread_ms": step_spread_ms,
                 "sync_step_ms": round(sync_ms, 2),
                 "stream_len": STREAM_LEN,
                 "backend": jax.default_backend(),

@@ -21,6 +21,10 @@ if "collective_call_terminate" not in flags:
     )
 os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# warm compile-cache hits log a ~2KB cpu_aot_loader machine-feature
+# ERROR line per loaded executable, drowning pytest output; python-level
+# failures (the ones tests act on) are unaffected
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax
 
