@@ -41,7 +41,11 @@ def parse_args(argv=None):
                         "random init when empty (smoke only)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--serve_batch_size", type=int, default=8)
+    # default 16: the measured throughput knee — 96% of the chip's
+    # saturated grounding throughput at half of batch-32's latency
+    # (PERF.md "batch-throughput curve"); occupancy-shaped executors
+    # keep low-load latency at the occupancy-1 figure regardless
+    p.add_argument("--serve_batch_size", type=int, default=16)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--data_devices", type=int, default=1,
                    help="serve data-parallel over N devices (0 = all); "
