@@ -602,8 +602,12 @@ def check_torch_import_chain(args, env) -> dict:
     params["match"]["Dense_0"]["kernel"] = leaf * 1.01 + 0.001
 
     sd = export_jointnet_state_dict(params, state.batch_stats)
-    tdir = os.path.join(os.path.dirname(os.path.abspath(args.out)),
-                        "standin_torch_ckpt")
+    # keep chain artifacts with the stand-in assets (or tmp), never in
+    # the caller's cwd
+    base = (args.synthetic_standins
+            or getattr(args, "multiview_nomv_data", "")
+            or os.path.join(os.path.abspath(os.sep), "tmp"))
+    tdir = os.path.join(base, "standin_torch_ckpt")
     os.makedirs(tdir, exist_ok=True)
     pth = os.path.join(tdir, "model_last.pth")
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
