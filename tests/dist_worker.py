@@ -233,6 +233,20 @@ def main() -> None:
         flush=True,
     )
 
+    # ---- collective liveness decision (solver interrupt-save path) ------
+    # all_processes_agree must AND a per-process bit across hosts: True
+    # everywhere -> True, and a single dissenting rank -> False on EVERY
+    # rank (the property the interrupt save relies on so no rank enters
+    # the save's all-gather alone).
+    from vlp3d.parallel.distributed import all_processes_agree
+
+    agree_all = all_processes_agree(True)
+    agree_split = all_processes_agree(ctx.rank == 0)  # rank 1 dissents
+    assert agree_all is True and agree_split is False, (
+        agree_all, agree_split)
+    print(f"DIST_AGREE_OK rank={ctx.rank} all={int(agree_all)} "
+          f"split={int(agree_split)}", flush=True)
+
     # ---- checkpoint materialization of the cross-host-sharded state -----
     # np.asarray raises on the non-addressable ZeRO moments; host_global
     # all-gathers them — this is the solver's _save_full_checkpoint path

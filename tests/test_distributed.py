@@ -116,6 +116,15 @@ def test_two_process_train_step(mode):
         z_vals.append((float(m.group(1)), int(m.group(2))))
     assert z_vals[0] == z_vals[1], z_vals
 
+    # the collective liveness AND (solver interrupt-save path): True
+    # everywhere -> True; one dissenting rank -> False on BOTH ranks
+    for rank, _, out, _ in results:
+        m = re.search(
+            rf"DIST_AGREE_OK rank={rank} all=(\d) split=(\d)", out
+        )
+        assert m, f"no DIST_AGREE_OK from rank {rank}: {out[-2000:]}"
+        assert (m.group(1), m.group(2)) == ("1", "0"), m.groups()
+
     # host_global materializes the cross-host-sharded opt state to full
     # host numpy on EVERY process (the multi-host --zero1 checkpoint
     # path); equal norms prove both ranks reassembled the same global
