@@ -122,3 +122,31 @@ def test_validate_fails_on_stale_cache(tmp_path):
     assert report["checks"]["scene_cache"]["status"] == "fail"
     assert "stale preprocess cache" in report["checks"]["scene_cache"].get(
         "error", "")
+
+
+def test_multiview_check_standalone_gating(tmp_path):
+    """check_multiview_hdf5 is gated on ITS OWN assets: with only
+    --multiview_nomv_data it runs the assembly check (scene id derived
+    from the nomv cache, dataset-item sub-check skipped without
+    ScanRefer), and never hard-fails the runbook for missing unrelated
+    flags (review finding r5)."""
+    rng = np.random.default_rng(3)
+    nomv = tmp_path / "nomv"
+    nomv.mkdir()
+    baked = tmp_path / "baked"
+    baked.mkdir()
+    from vlp3d.data.standins import write_scene_assets_nomv
+
+    arrays = _write_scene_assets(baked, rng)
+    write_scene_assets_nomv(str(nomv), arrays)
+
+    out = tmp_path / "report.json"
+    rc = validate_main([
+        "--multiview_nomv_data", str(nomv),
+        "--out", str(out),
+    ])
+    report = json.loads(out.read_text())
+    assert rc == 0, report
+    mv = report["checks"]["multiview_hdf5"]
+    assert mv["status"] == "ok" and mv["columns"] == 134
+    assert "skipped" in mv["item_check"]

@@ -535,7 +535,19 @@ def check_multiview_hdf5(args) -> dict:
         return {"status": "skipped",
                 "reason": "needs --multiview_nomv_data with "
                           "enet_feats_maxpool.hdf5"}
-    scene = _scene_id(args)
+    # scene id comes from the nomv cache itself (this check must stay
+    # asset-gated on ITS assets alone — --scene_id/--scannet_data are a
+    # different modality's flags)
+    scene = args.scene_id or next(
+        (f[: -len(f"_preprocess_{args.split}.npy")]
+         for f in sorted(os.listdir(root))
+         if f.endswith(f"_preprocess_{args.split}.npy")),
+        None,
+    )
+    if scene is None:
+        return {"status": "skipped",
+                "reason": f"no *_preprocess_{args.split}.npy under "
+                          f"{root}"}
     source = DirectorySceneSource(root, multiview_hdf5=hdf5)
     assembled = source(scene, args.split)["point_cloud"]
     n_mv = 128
@@ -550,12 +562,20 @@ def check_multiview_hdf5(args) -> dict:
             result["bit_identical_to_baked"] = True
 
     # the appended features survive the dataset's sampling/height chain
+    # (needs ScanRefer annotations; without them the assembly check above
+    # already validated the modality)
     from vlp3d.cli.common import load_scanrefer
     from vlp3d.data.dataset import ScanReferJointDataset
     from vlp3d.data.tokenizer import load_tokenizer
 
-    anns = [d for d in load_scanrefer(args.scanrefer_dir, args.split)
-            if d["scene_id"] == scene][:2]
+    try:
+        anns = [d for d in load_scanrefer(args.scanrefer_dir, args.split)
+                if d["scene_id"] == scene][:2]
+    except Exception:
+        anns = []
+    if not anns:
+        result["item_check"] = "skipped (no ScanRefer annotations)"
+        return result
     ds = ScanReferJointDataset(
         anns, source,
         load_tokenizer(os.path.join(args.bert_dir, "vocab.txt")
@@ -602,12 +622,15 @@ def check_torch_import_chain(args, env) -> dict:
     params["match"]["Dense_0"]["kernel"] = leaf * 1.01 + 0.001
 
     sd = export_jointnet_state_dict(params, state.batch_stats)
-    # keep chain artifacts with the stand-in assets (or tmp), never in
-    # the caller's cwd
-    base = (args.synthetic_standins
-            or getattr(args, "multiview_nomv_data", "")
-            or os.path.join(os.path.abspath(os.sep), "tmp"))
-    tdir = os.path.join(base, "standin_torch_ckpt")
+    # chain artifacts live with the generated stand-ins, else a private
+    # tempdir — never the caller's cwd, a user's real asset dir, or a
+    # world-shared fixed path two concurrent runs would fight over
+    if args.synthetic_standins:
+        tdir = os.path.join(args.synthetic_standins, "standin_torch_ckpt")
+    else:
+        import tempfile
+
+        tdir = tempfile.mkdtemp(prefix="vlp3d_validate_torch_chain_")
     os.makedirs(tdir, exist_ok=True)
     pth = os.path.join(tdir, "model_last.pth")
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v))

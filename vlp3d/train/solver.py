@@ -817,30 +817,24 @@ class Solver:
 
                 live = all_processes_agree(bool(live))
             # never REGRESS the on-disk resume record: an interrupt
-            # before any epoch of THIS call completed (done_epoch <
-            # start_epoch) must not overwrite a checkpoint that already
-            # records a completed epoch — the existing record is at
-            # least as informative and saving would only rewind
-            # --auto_resume (observed: re-running a finished run and
-            # preempting it instantly re-stamped epoch -1 over 0).
-            existing_epoch = None
-            meta_path = os.path.join(self.workdir, "checkpoint_meta.json")
-            if os.path.exists(meta_path):
-                try:
-                    with open(meta_path) as f:
-                        existing_epoch = int(json.load(f)["epoch"])
-                except Exception:
-                    existing_epoch = None
-            if live and (existing_epoch is None
-                         or existing_epoch < done_epoch):
+            # before any epoch of THIS call completed must not overwrite
+            # whatever checkpoint already exists (observed: re-running a
+            # finished run and preempting it instantly re-stamped epoch
+            # -1 over the completed record, rewinding --auto_resume).
+            # The decision uses only done_epoch/start_epoch — identical
+            # on every rank by construction — so under multi-host no
+            # rank can disagree and enter the collective save alone
+            # (reading checkpoint_meta here would reintroduce exactly
+            # that divergence: only rank 0 writes it).
+            if live and done_epoch >= start_epoch:
                 self._save_full_checkpoint(done_epoch)
                 print(f"interrupted during epoch {epoch} — checkpoint "
                       f"(through epoch {done_epoch}) saved to "
                       f"{self.workdir}")
             elif live:
-                print(f"interrupted during epoch {epoch} — existing "
-                      f"checkpoint (through epoch {existing_epoch}) is "
-                      f"already current; not overwriting")
+                print(f"interrupted during epoch {epoch} before any "
+                      f"epoch of this run completed — existing "
+                      f"checkpoint (if any) stands; nothing saved")
             else:
                 print(f"interrupted during epoch {epoch} mid-step; live "
                       f"state was donated — resume from the existing "
