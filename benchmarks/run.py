@@ -105,6 +105,16 @@ def _batch(config, istrain):
     )
 
 
+def _floor_fields(floor_ms_b8: float, basis: str):
+    """Speed-of-light annotation (VERDICT r04 item 6): structural floor
+    scaled from its batch-8 derivation, so every suite entry carries how
+    far from the hardware limit the exact-parity semantics run (_emit
+    adds x_floor = measured/floor). The gather/VPU-bound floors scale
+    linearly in batch."""
+    floor = floor_ms_b8 * (BATCH / 8.0)
+    return {"floor_ms": round(floor, 2), "floor_basis": basis}
+
+
 def bench_sa_stack():
     """BASELINE.md #1: the PointNet++ SA stack (FPS + ball query +
     grouping + MLPs) alone."""
@@ -133,16 +143,6 @@ def bench_sa_stack():
                             "underestimate: SA2-4/FP/MLP floors not "
                             "included"),
     )
-
-
-def _floor_fields(floor_ms_b8: float, basis: str):
-    """Speed-of-light annotation (VERDICT r04 item 6): structural floor
-    scaled from its batch-8 derivation, so every suite entry carries how
-    far from the hardware limit the exact-parity semantics run (_emit
-    adds x_floor = measured/floor). The gather/VPU-bound floors scale
-    linearly in batch."""
-    floor = floor_ms_b8 * (BATCH / 8.0)
-    return {"floor_ms": round(floor, 2), "floor_basis": basis}
 
 
 def _jointnet(no_reference, no_caption, use_con, istrain):

@@ -177,14 +177,18 @@ def check_bert_weight_import(args) -> dict:
     }
 
 
-def _scene_id(args) -> str | None:
+def _scene_id(args, root: str | None = None) -> str | None:
+    """--scene_id, else the first scene with a preprocess cache under
+    `root` (default: --scannet_data)."""
     if args.scene_id:
         return args.scene_id
-    if not os.path.isdir(args.scannet_data):
+    root = root if root is not None else args.scannet_data
+    if not os.path.isdir(root):
         return None
-    for f in sorted(os.listdir(args.scannet_data)):
-        if f.endswith(f"_preprocess_{args.split}.npy"):
-            return f[: -len(f"_preprocess_{args.split}.npy")]
+    suffix = f"_preprocess_{args.split}.npy"
+    for f in sorted(os.listdir(root)):
+        if f.endswith(suffix):
+            return f[: -len(suffix)]
     return None
 
 
@@ -536,14 +540,8 @@ def check_multiview_hdf5(args) -> dict:
                 "reason": "needs --multiview_nomv_data with "
                           "enet_feats_maxpool.hdf5"}
     # scene id comes from the nomv cache itself (this check must stay
-    # asset-gated on ITS assets alone — --scene_id/--scannet_data are a
-    # different modality's flags)
-    scene = args.scene_id or next(
-        (f[: -len(f"_preprocess_{args.split}.npy")]
-         for f in sorted(os.listdir(root))
-         if f.endswith(f"_preprocess_{args.split}.npy")),
-        None,
-    )
+    # asset-gated on ITS assets alone, not on --scannet_data)
+    scene = _scene_id(args, root=root)
     if scene is None:
         return {"status": "skipped",
                 "reason": f"no *_preprocess_{args.split}.npy under "
